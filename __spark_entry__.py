@@ -1,38 +1,1065 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: ``gtfsrt2lc_spark`` — a PySpark-native KG-construction engine with
+the capabilities of linkedconnections/gtfsrt2lc (SURVEY.md §2 inventory).
+
+``queries()`` exposes one entry per implemented operator class, each
+re-expressed over the driver's TPC-H-ish tables + documents/embeddings so the
+DuckDB oracle in ``oracle_sql()`` can verify values independently.
+
+Numeric-parity conventions (engine-independent determinism):
+  * money sums go through DECIMAL(18,2) (exact) and cast to DOUBLE at the end
+  * hashes are pure int64 arithmetic (31-polynomial / affine permutations),
+    identical in Spark and DuckDB — never engine-native hash()/xxhash64
+  * every computed column is aliased identically in Spark and SQL
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from gtfsrt2lc_spark.functions.hashing import (
+    MOD,
+    minhash_perms,
+    poly_hash,
+    simhash32,
+    token_hashes,
+    tokens,
+)
+from gtfsrt2lc_spark.functions.iri import slug
+from gtfsrt2lc_spark.operators.dedup import exact_dup_groups, neardup_pairs_minhash
+from gtfsrt2lc_spark.operators.similarity import brute_force_topk, lsh_topk
+from gtfsrt2lc_spark.operators.windows import locf, pairwise_lead, sessionize, topk_per_group
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(c, scale: int = 2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# 1. Relational core (SURVEY.md §2.2-2.7 operator classes)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style group-agg (§2.4; ref A1-A5 have no numeric aggs — this
+    is the engine's generalization)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Star join chain (ref J1/J2/J4 broadcast-dim joins)."""
+    li, o, c, n, r = (
+        _t(spark, sf_dir, x) for x in ("lineitem", "orders", "customer", "nation", "region")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("o_orderstatus") == "F")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    """Left-semi pruning (ref S6 grep pre-filter ≙ semi-join pushdown)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), F.sum(_dec("l_quantity")).cast("double").alias("qty"))
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """Left-anti (ref J6 history anti-join: emit only keys with no match)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), F.min("c_custkey").alias("min_custkey"))
+    )
+
+
+def q_best_match_join(spark, sf_dir):
+    """Trip-deduction analog (ref J5, lib/Gtfsrt2LC.js:323-394): candidate
+    generation by blocking key (nation), scoring filter (range predicate),
+    deterministic winner (row_number)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cand = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(s, c.c_nationkey == s.s_nationkey)
+        .where(F.col("s_acctbal").cast("decimal(18,2)") <= _dec("o_totalprice"))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderkey", "s_suppkey", F.col("s_acctbal").alias("best_acctbal"))
+    )
+
+
+def q_group_collect(spark, sf_dir):
+    """Ordered per-key array build (ref A1 stop_times grouping,
+    lib/GtfsIndex.js:210-247), string-encoded for engine-neutral compare."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    item = F.struct(F.col("l_linenumber"), F.col("l_partkey"))
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(item)),
+                lambda x: F.concat_ws(":", x["l_linenumber"].cast("string"), x["l_partkey"].cast("string")),
+            ),
+            ",",
+        ).alias("lines"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q_map_agg(spark, sf_dir):
+    """Key->value map per group (ref A3 calendarDates map,
+    lib/GtfsIndex.js:249-262), sorted-entry string encoding."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    return per_type.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("event_type", "n"))),
+                lambda x: F.concat_ws("=", x["event_type"], x["n"].cast("string")),
+            ),
+            ",",
+        ).alias("type_counts")
+    )
+
+
+def q_first_per_group(spark, sf_dir):
+    """Extremum row per group (ref A4 firstStops, lib/GtfsIndex.js:220-222)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.min_by("l_partkey", "l_linenumber").alias("first_partkey"),
+        F.min("l_linenumber").alias("first_line"),
+    )
+
+
+def q_last_write_wins(spark, sf_dir):
+    """Last-write-wins per key (ref A5 index build keeps last occurrence,
+    lib/GtfsIndex.js:177-183)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.max_by("n_chars", "doc_id").alias("last_n_chars"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+def q_pairwise_lead(spark, sf_dir):
+    """Consecutive-row pairing (ref W9 connection formation,
+    lib/Gtfsrt2LC.js:162-229): n rows -> n-1 pairs per group."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 3000)
+    out = pairwise_lead(li, ["l_orderkey"], "l_linenumber", ["l_partkey"])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_partkey").alias("dep_partkey"),
+        F.col("next_l_partkey").alias("arr_partkey"),
+    )
+
+
+def q_locf(spark, sf_dir):
+    """Forward-fill (ref W2 delay LOCF, lib/Gtfsrt2LC.js:494-508): error
+    events have no usable value -> inherit previous non-error value."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    ev = ev.withColumn(
+        "v", F.when(F.col("event_type") != "error", F.round("value", 2))
+    )
+    out = locf(ev, ["user_id"], "event_id", "v", out_col="v_filled")
+    return out.select("event_id", "user_id", "v_filled")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessions (streaming sessionization in batch form)."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-k per group via row_number (deterministic tie-break)."""
+    o = _t(spark, sf_dir, "orders")
+    out = topk_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], k=3
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rank"
+    )
+
+
+def q_global_topn(spark, sf_dir):
+    """Global order-by + limit (ref has no top-k; ours is TakeOrdered)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def q_enum_decode(spark, sf_dir):
+    """Enum -> IRI decode (ref P8/F8 pickup/dropOff codes -> gtfs:* IRIs,
+    lib/Utils.js:68-79)."""
+    o = _t(spark, sf_dir, "orders")
+    code = F.split(F.col("o_orderpriority"), "-")[0].cast("int")
+    iri = (
+        F.when(code == 1, "http://vocab.org/terms#Urgent")
+        .when(code == 2, "http://vocab.org/terms#High")
+        .when(code == 3, "http://vocab.org/terms#Medium")
+        .when(code == 4, "http://vocab.org/terms#NotSoUrgent")
+        .otherwise("http://vocab.org/terms#Low")
+    )
+    return o.groupBy(iri.alias("priority_iri")).agg(F.count("*").alias("n_orders"))
+
+
+def q_cancellation_classify(spark, sf_dir):
+    """Cancellation classifier (ref P7, lib/Gtfsrt2LC.js:427-436):
+    isDeleted || schedRel==3 -> CancelledConnection."""
+    ev = _t(spark, sf_dir, "events")
+    typ = F.when(
+        (F.col("event_type") == "error") | (F.col("value") < 0), "CancelledConnection"
+    ).otherwise("Connection")
+    return ev.groupBy(typ.alias("type")).agg(F.count("*").alias("n"))
+
+
+def q_date_format(spark, sf_dir):
+    """Date parse/format (ref F3 yyyymmdd parse + F6 ISO-8601 serialization)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("month_total"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")).alias("first_iso"),
+    )
+
+
+def q_duration_parse(spark, sf_dir):
+    """GTFS duration parse (ref F1, lib/Gtfsrt2LC.js:773-777): 'HH:MM:SS'
+    where hours may exceed 23 (service-day rollover) -> total seconds.
+    Durations are synthesized deterministically from order keys."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    dur = F.concat_ws(
+        ":",
+        (F.col("o_orderkey") % 30).cast("string"),  # 0..29 incl. >23 rollover
+        F.lpad((F.col("o_orderkey") % 60).cast("string"), 2, "0"),
+        F.lpad((F.col("o_orderkey") % 17).cast("string"), 2, "0"),
+    )
+    parts = F.split(dur, ":")
+    secs = (
+        parts[0].cast("long") * 3600 + parts[1].cast("long") * 60 + parts[2].cast("long")
+    )
+    return o.select(
+        "o_orderkey", dur.alias("gtfs_duration"), secs.alias("duration_secs")
+    )
+
+
+def q_uri_mint(spark, sf_dir):
+    """IRI minting from row values (ref F7 resolveURI, lib/Utils.js:9-66)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 2000)
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("http://example.org/kg/customer/"),
+            slug(F.col("c_name")),
+            F.lit("/"),
+            F.col("c_nationkey").cast("string"),
+        ).alias("iri"),
+    )
+
+
+def q_explode_quads(spark, sf_dir):
+    """Record -> quad explosion (ref S10: one connection -> 12 quads,
+    lib/Connections2Triples.js:31-101). Here: one order -> 3 quads."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000)
+    subj = F.concat(F.lit("http://example.org/kg/order/"), F.col("o_orderkey").cast("string"))
+    quads = F.array(
+        F.struct(
+            subj.alias("subj"),
+            F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("pred"),
+            F.lit("http://vocab.org/terms#Order").alias("obj"),
+        ),
+        F.struct(
+            subj.alias("subj"),
+            F.lit("http://vocab.org/terms#totalPrice").alias("pred"),
+            F.round("o_totalprice", 2).cast("string").alias("obj"),
+        ),
+        F.struct(
+            subj.alias("subj"),
+            F.lit("http://vocab.org/terms#orderDate").alias("pred"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("obj"),
+        ),
+    )
+    return o.select(F.explode(quads).alias("q")).select("q.subj", "q.pred", "q.obj")
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON field extraction from the props column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_k"), F.max(k).alias("max_k")
+    )
+
+
+def q_set_except(spark, sf_dir):
+    """Set difference (customers with F-status orders but no O-status)."""
+    o = _t(spark, sf_dir, "orders")
+    f_cust = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o_cust = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f_cust.distinct().exceptAll(o_cust.distinct())
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+    )
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot via conditional aggregation (engine-neutral form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", _dec("l_quantity"))).cast("double").alias("qty_o"),
+        F.sum(F.when(F.col("l_linestatus") == "F", _dec("l_quantity"))).cast("double").alias("qty_f"),
+        F.count(F.when(F.col("l_linestatus") == "O", F.lit(1))).alias("n_o"),
+        F.count(F.when(F.col("l_linestatus") == "F", F.lit(1))).alias("n_f"),
+    )
+
+
+def q_time_buckets(spark, sf_dir):
+    """Tumbling event-time windows in batch form (ref T1 micro-batch poll,
+    lib/catchCancelled.js:12-32): 5-minute epoch-aligned buckets."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(_dec("value")).cast("double").alias("v"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n",
+            "v",
+        )
+        .where(F.col("bucket_start") < F.lit(1704070800))  # bound output size
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Training-data / corpus operators (documents + embeddings)
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (31-polynomial mod 2^31-1)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", poly_hash(F.col("text")).alias("fingerprint"))
+
+
+def q_doc_simhash(spark, sf_dir):
+    """32-bit SimHash over token hashes."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash32(token_hashes(F.col("text"))).alias("simhash"))
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact dedup via content-hash groupBy (hash-groupBy dedup family)."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(d, "text", "doc_id")
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (J >= 0.5).
+
+    The oracle reproduces the identical affine-permutation MinHash in SQL, so
+    banding decisions match bit-for-bit between engines."""
+    d = _t(spark, sf_dir, "documents")
+    return neardup_pairs_minhash(
+        d, "doc_id", "text", n_hashes=16, bands=8, jaccard_threshold=0.5
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Token-set Jaccard on deterministic candidate pairs (doc_id, doc_id+1)."""
+    d = _t(spark, sf_dir, "documents")
+    sets = d.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("t_a"))
+    b = sets.select((F.col("doc_id") - 1).alias("doc_a"), F.col("toks").alias("t_b"))
+    j = a.join(b, "doc_a")
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    union = F.size("t_a") + F.size("t_b") - inter
+    return j.select(
+        "doc_a",
+        (F.col("doc_a") + 1).alias("doc_b"),
+        F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    return d.groupBy("lang").agg(
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "und", "das", "in", "zu", "den", "von", "ist", "mit"],
+}
+
+
+def _lang_score(toks, words: list[str]):
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID: argmax stopword hits (ties -> 'en' > 'es' > 'de'),
+    compared against the stored lang label."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    en = _lang_score(toks, _STOPWORDS["en"])
+    es = _lang_score(toks, _STOPWORDS["es"])
+    de = _lang_score(toks, _STOPWORDS["de"])
+    pred = (
+        F.when((en >= es) & (en >= de), "en")
+        .when(es >= de, "es")
+        .otherwise("de")
+    )
+    return d.groupBy(F.col("lang"), pred.alias("predicted")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length/stopword/uniqueness features, rounded."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
+    stop_ratio = _lang_score(toks, _STOPWORDS["en"]).cast("double") / n_toks.cast("double")
+    score = F.round(uniq_ratio * 0.5 + stop_ratio * 0.3 + F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.2, 6)
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        score.alias("quality"),
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors (vec_id < 3)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3)
+    return brute_force_topk(e, q, k=5)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-5 (scale path; no SQL oracle — approx)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3)
+    return lsh_topk(e, q, dim=64, k=5, n_bits=6, n_tables=4)
+
+
+_SVO_PATTERN = r"(\w+) (join|merge|scan|sort) (\w+)"
+
+
+def q_svo_extract(spark, sf_dir):
+    """SVO triple extraction via regex over document text (ref W9 analog:
+    record -> fact expansion), minted to IRIs and deduplicated."""
+    d = _t(spark, sf_dir, "documents")
+    p = F.lit(_SVO_PATTERN)
+    z = F.arrays_zip(
+        F.regexp_extract_all(F.col("text"), p, 1).alias("s"),
+        F.regexp_extract_all(F.col("text"), p, 2).alias("p"),
+        F.regexp_extract_all(F.col("text"), p, 3).alias("o"),
+    )
+    m = d.select("doc_id", F.explode(z).alias("m"))
+    return (
+        m.select(
+            F.concat(F.lit("http://example.org/kg/entity/"), F.col("m.s")).alias("subj"),
+            F.concat(F.lit("http://example.org/kg/ontology#"), F.col("m.p")).alias("pred"),
+            F.concat(F.lit("http://example.org/kg/entity/"), F.col("m.o")).alias("obj"),
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+def q_kg_pipeline_docs(spark, sf_dir):
+    """Mini end-to-end KG pipeline over the documents table: wrap text in
+    HTML (deterministic), Arrow-UDF extraction back to text, SVO extraction,
+    IRI minting, triple dedup with min-doc provenance.
+
+    The oracle replays the same logic on the raw text — valid because the
+    extractor is exactly inverse to the wrapper (byte-identity invariant)."""
+    from gtfsrt2lc_spark.functions.text import extract_text_udf
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><script>t()</script></head><body><nav>menu</nav><p>"),
+            F.col("text"),
+            F.lit("</p><footer>end</footer></body></html>"),
+        ),
+        "utf-8",
+    )
+    pages = d.select("doc_id", extract_text_udf(html).alias("etext"))
+    p = F.lit(_SVO_PATTERN)
+    z = F.arrays_zip(
+        F.regexp_extract_all(F.col("etext"), p, 1).alias("s"),
+        F.regexp_extract_all(F.col("etext"), p, 2).alias("p"),
+        F.regexp_extract_all(F.col("etext"), p, 3).alias("o"),
+    )
+    m = pages.select("doc_id", F.explode(z).alias("m"))
+    return (
+        m.select(
+            "doc_id",
+            F.concat(F.lit("http://example.org/kg/entity/"), F.col("m.s")).alias("subj"),
+            F.concat(F.lit("http://example.org/kg/ontology#"), F.col("m.p")).alias("pred"),
+            F.concat(F.lit("http://example.org/kg/entity/"), F.col("m.o")).alias("obj"),
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_mentions"))
+    )
+
+
+def q_connected_components(spark, sf_dir):
+    """Connected components over a deterministic doc graph (edges between
+    consecutive doc_ids sharing a lang) — canonicalization-stage operator."""
+    from gtfsrt2lc_spark.operators.components import connected_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    a = d.select(F.col("doc_id").alias("src"), F.col("lang").alias("lang_a"))
+    b = d.select((F.col("doc_id") - 1).alias("src"), F.col("doc_id").alias("dst"), F.col("lang").alias("lang_b"))
+    edges = a.join(b, "src").where(F.col("lang_a") == F.col("lang_b")).select("src", "dst")
+    cc = connected_components(
+        edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
+    )
+    return cc.groupBy(F.col("component").cast("long").alias("component")).agg(
+        F.count("*").alias("size")
+    ).where(F.col("size") > 1)
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the mini KG pipeline (Arrow-UDF extract -> SVO -> mint ->
+    dedup) over the sf0.001 documents corpus."""
+    return q_kg_pipeline_docs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational core
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "best_match_join": q_best_match_join,
+        "group_collect": q_group_collect,
+        "map_agg": q_map_agg,
+        "first_per_group": q_first_per_group,
+        "last_write_wins": q_last_write_wins,
+        "pairwise_lead": q_pairwise_lead,
+        "locf": q_locf,
+        "sessionize": q_sessionize,
+        "topk_per_group": q_topk_per_group,
+        "global_topn": q_global_topn,
+        "enum_decode": q_enum_decode,
+        "cancellation_classify": q_cancellation_classify,
+        "date_format": q_date_format,
+        "duration_parse": q_duration_parse,
+        "uri_mint": q_uri_mint,
+        "explode_quads": q_explode_quads,
+        "json_extract": q_json_extract,
+        "set_except": q_set_except,
+        "rollup": q_rollup,
+        "pivot": q_pivot,
+        "time_buckets": q_time_buckets,
+        # corpus / training-data ops
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_simhash": q_doc_simhash,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_neardup": q_minhash_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "svo_extract": q_svo_extract,
+        "kg_pipeline_docs": q_kg_pipeline_docs,
+        "connected_components": q_connected_components,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — same arithmetic, ANSI SQL
+# ---------------------------------------------------------------------------
+
+_POLY_HASH_SQL = """list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(range(1, length({s}) + 1),
+                     i -> ascii(substr({s}, i::INT, 1))::BIGINT)),
+    (acc, c) -> (acc * 31 + c) % 2147483647)"""
+
+_TOKENS_SQL = r"list_filter(string_split_regex({s}, '\s+'), t -> length(t) > 0)"
+
+
+def _token_hashes_sql(s: str) -> str:
+    ph = _POLY_HASH_SQL.format(s="t")
+    return f"list_transform({_TOKENS_SQL.format(s=s)}, t -> {ph})"
+
+
+def _minhash_sql(hashes_expr: str, n_hashes: int, seed: int = 42) -> str:
+    perms = minhash_perms(n_hashes, seed=seed)
+    mins = ",\n    ".join(
+        f"list_reduce(list_prepend({MOD}::BIGINT, "
+        f"list_transform({hashes_expr}, h -> (h * {a} + {b}) % {MOD})), "
+        f"(acc, x) -> least(acc, x))"
+        for a, b in perms
+    )
+    return f"[{mins}]"
+
+
+def _simhash_sql(hashes_expr: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(th, h -> CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1::BIGINT ELSE -1::BIGINT END)), "
+        f"(acc, x) -> acc + x) > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(32)
+    )
+    return f"(SELECT {bits} FROM (SELECT {hashes_expr} AS th) _sh)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    th_text = _token_hashes_sql("text")
+    sql = {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY r_name, n_name
+        """,
+        "semi_join": """
+            SELECT l_returnflag, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag
+        """,
+        "anti_join": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers, MIN(c_custkey) AS min_custkey
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "best_match_join": """
+            SELECT o_orderkey, s_suppkey, best_acctbal FROM (
+                SELECT o_orderkey, s_suppkey, s_acctbal AS best_acctbal,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                          ORDER BY s_acctbal DESC, s_suppkey) AS rn
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON c_nationkey = s_nationkey
+                WHERE o_orderkey < 1000
+                  AND CAST(s_acctbal AS DECIMAL(18,2)) <= CAST(o_totalprice AS DECIMAL(18,2))
+            ) WHERE rn = 1
+        """,
+        "group_collect": """
+            SELECT l_orderkey,
+                   string_agg(l_linenumber || ':' || l_partkey, ','
+                              ORDER BY l_linenumber, l_partkey) AS lines,
+                   COUNT(*) AS n_lines
+            FROM lineitem WHERE l_orderkey < 2000
+            GROUP BY l_orderkey
+        """,
+        "map_agg": """
+            SELECT user_id,
+                   string_agg(event_type || '=' || n, ',' ORDER BY event_type) AS type_counts
+            FROM (SELECT user_id, event_type, COUNT(*) AS n
+                  FROM events WHERE user_id < 50 GROUP BY 1, 2)
+            GROUP BY user_id
+        """,
+        "first_per_group": """
+            SELECT l_orderkey,
+                   min_by(l_partkey, l_linenumber) AS first_partkey,
+                   MIN(l_linenumber) AS first_line
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "last_write_wins": """
+            SELECT source,
+                   max_by(n_chars, doc_id) AS last_n_chars,
+                   MAX(doc_id) AS last_doc_id
+            FROM documents GROUP BY source
+        """,
+        "pairwise_lead": """
+            SELECT l_orderkey, l_linenumber, dep_partkey, arr_partkey FROM (
+                SELECT l_orderkey, l_linenumber, l_partkey AS dep_partkey,
+                       LEAD(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS arr_partkey
+                FROM lineitem WHERE l_orderkey < 3000
+            ) WHERE arr_partkey IS NOT NULL
+        """,
+        "locf": """
+            SELECT event_id, user_id,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+            FROM (SELECT event_id, user_id,
+                         CASE WHEN event_type <> 'error' THEN ROUND(value, 2) END AS v
+                  FROM events WHERE user_id < 30)
+        """,
+        "sessionize": """
+            WITH marked AS (
+                SELECT user_id,
+                       CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                                 OR LAG(ts) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id,
+                       SUM(is_new) OVER (PARTITION BY user_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM marked
+            )
+            SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+            FROM sess GROUP BY user_id
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, price, rank FROM (
+                SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "global_topn": """
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "enum_decode": """
+            SELECT CASE CAST(string_split(o_orderpriority, '-')[1] AS INT)
+                     WHEN 1 THEN 'http://vocab.org/terms#Urgent'
+                     WHEN 2 THEN 'http://vocab.org/terms#High'
+                     WHEN 3 THEN 'http://vocab.org/terms#Medium'
+                     WHEN 4 THEN 'http://vocab.org/terms#NotSoUrgent'
+                     ELSE 'http://vocab.org/terms#Low' END AS priority_iri,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "cancellation_classify": """
+            SELECT CASE WHEN event_type = 'error' OR value < 0
+                        THEN 'CancelledConnection' ELSE 'Connection' END AS type,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "date_format": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total,
+                   MIN(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g' ) || 'Z') AS first_iso
+            FROM orders GROUP BY 1
+        """,
+        "duration_parse": """
+            SELECT o_orderkey,
+                   (o_orderkey % 30) || ':' || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0')
+                                     || ':' || lpad(CAST(o_orderkey % 17 AS VARCHAR), 2, '0') AS gtfs_duration,
+                   (o_orderkey % 30) * 3600 + (o_orderkey % 60) * 60 + (o_orderkey % 17) AS duration_secs
+            FROM orders WHERE o_orderkey < 5000
+        """,
+        "uri_mint": r"""
+            SELECT c_custkey,
+                   'http://example.org/kg/customer/' ||
+                   trim(regexp_replace(c_name, '[^A-Za-z0-9]+', '_', 'g'), '_') ||
+                   '/' || c_nationkey AS iri
+            FROM customer WHERE c_custkey < 2000
+        """,
+        "explode_quads": """
+            WITH o AS (SELECT * FROM orders WHERE o_orderkey < 3000)
+            SELECT 'http://example.org/kg/order/' || o_orderkey AS subj,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                   'http://vocab.org/terms#Order' AS obj FROM o
+            UNION ALL
+            SELECT 'http://example.org/kg/order/' || o_orderkey,
+                   'http://vocab.org/terms#totalPrice',
+                   CAST(ROUND(o_totalprice, 2) AS VARCHAR) FROM o
+            UNION ALL
+            SELECT 'http://example.org/kg/order/' || o_orderkey,
+                   'http://vocab.org/terms#orderDate',
+                   strftime(o_orderdate, '%Y-%m-%d') FROM o
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   COUNT(json_extract_string(props, '$.k')) AS n_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "set_except": """
+            SELECT custkey FROM (
+                SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+                EXCEPT
+                SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+            )
+        """,
+        "rollup": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o,
+                   CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+                   COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o,
+                   COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "time_buckets": """
+            SELECT (epoch(ts) // 300) * 300 AS bucket_start, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+            FROM events
+            GROUP BY 1, 2
+            HAVING (epoch(ts) // 300) * 300 < 1704070800
+        """,
+        # ----- corpus ops -----
+        "doc_fingerprint": f"""
+            SELECT doc_id, {_POLY_HASH_SQL.format(s='text')} AS fingerprint
+            FROM documents
+        """,
+        "doc_simhash": f"""
+            SELECT doc_id, {_simhash_sql(th_text)} AS simhash
+            FROM documents
+        """,
+        "exact_dup_groups": f"""
+            SELECT {_POLY_HASH_SQL.format(s='text')} AS content_hash,
+                   COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id
+            FROM documents
+            GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "ngram_jaccard": f"""
+            WITH sets AS (
+                SELECT doc_id, list_distinct({_TOKENS_SQL.format(s='text')}) AS toks
+                FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /
+                         (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::DOUBLE,
+                         6) AS jaccard
+            FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+        """,
+        "token_count": rf"""
+            SELECT lang,
+                   SUM(len({_TOKENS_SQL.format(s='text')})) AS ws_tokens,
+                   SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "lang_id": f"""
+            WITH scored AS (
+                SELECT lang,
+                       len(list_filter({_TOKENS_SQL.format(s='text')},
+                           t -> t IN ('the','and','of','to','a','in','is','it','for','on'))) AS en,
+                       len(list_filter({_TOKENS_SQL.format(s='text')},
+                           t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS es,
+                       len(list_filter({_TOKENS_SQL.format(s='text')},
+                           t -> t IN ('der','die','und','das','in','zu','den','von','ist','mit'))) AS de
+                FROM documents
+            )
+            SELECT lang,
+                   CASE WHEN en >= es AND en >= de THEN 'en'
+                        WHEN es >= de THEN 'es' ELSE 'de' END AS predicted,
+                   COUNT(*) AS n
+            FROM scored GROUP BY 1, 2
+        """,
+        "quality_score": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKENS_SQL.format(s='text')} AS toks FROM documents
+            )
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   ROUND(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 6) AS uniq_ratio,
+                   ROUND(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE * 0.5 +
+                         len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','for','on')))::DOUBLE
+                             / len(toks)::DOUBLE * 0.3 +
+                         least(len(toks) / 100.0, 1.0) * 0.2, 6) AS quality
+            FROM t
+        """,
+        "ann_cosine_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       ROUND(
+                         list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(range(1, 65),
+                             i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)),
+                           (acc, x) -> acc + x)
+                         / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                              list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)),
+                              (acc, x) -> acc + x))
+                          * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                              list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)),
+                              (acc, x) -> acc + x))), 6) AS cos
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+            )
+            SELECT query_id, vec_id, cos, rank FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "svo_extract": """
+            WITH m AS (
+                SELECT unnest(regexp_extract_all(text, '(\\w+) (join|merge|scan|sort) (\\w+)', 1)) AS s,
+                       unnest(regexp_extract_all(text, '(\\w+) (join|merge|scan|sort) (\\w+)', 2)) AS p,
+                       unnest(regexp_extract_all(text, '(\\w+) (join|merge|scan|sort) (\\w+)', 3)) AS o
+                FROM documents
+            )
+            SELECT 'http://example.org/kg/entity/' || s AS subj,
+                   'http://example.org/kg/ontology#' || p AS pred,
+                   'http://example.org/kg/entity/' || o AS obj,
+                   COUNT(*) AS n_mentions
+            FROM m GROUP BY 1, 2, 3
+        """,
+        "kg_pipeline_docs": """
+            WITH m AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '(\\w+) (join|merge|scan|sort) (\\w+)', 1)) AS s,
+                       unnest(regexp_extract_all(text, '(\\w+) (join|merge|scan|sort) (\\w+)', 2)) AS p,
+                       unnest(regexp_extract_all(text, '(\\w+) (join|merge|scan|sort) (\\w+)', 3)) AS o
+                FROM documents
+            )
+            SELECT 'http://example.org/kg/entity/' || s AS subj,
+                   'http://example.org/kg/ontology#' || p AS pred,
+                   'http://example.org/kg/entity/' || o AS obj,
+                   MIN(doc_id) AS first_doc,
+                   COUNT(*) AS n_mentions
+            FROM m GROUP BY 1, 2, 3
+        """,
+        "connected_components": """
+            WITH RECURSIVE edges AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+                WHERE a.lang = b.lang
+            ), verts AS (
+                SELECT src AS v FROM edges UNION SELECT dst FROM edges
+            ), reach(v, r) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+                UNION
+                SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.v
+            )
+            SELECT component, COUNT(*) AS size FROM (
+                SELECT v, MIN(r) AS component FROM reach GROUP BY v
+            ) GROUP BY component HAVING COUNT(*) > 1
+        """,
+    }
+    sql["minhash_neardup"] = _oracle_minhash_sql()
+    return sql
+
+
+def _oracle_minhash_sql() -> str:
+    """MinHash+LSH oracle, generated to mirror neardup_pairs_minhash
+    (n_hashes=16, bands=8, rows=2, threshold=0.5, seed=42) exactly."""
+    n_hashes, bands = 16, 8
+    rows = n_hashes // bands
+    sig = _minhash_sql("toks", n_hashes)
+    band_structs = ", ".join(
+        f"{{'band_id': {bi}, 'band_val': CAST(sig[{bi * rows + 1}] AS VARCHAR) || '_' || CAST(sig[{bi * rows + 2}] AS VARCHAR)}}"
+        for bi in range(bands)
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id AS doc, list_distinct({_token_hashes_sql('text')}) AS toks
+            FROM documents
+        ), sigs AS (
+            SELECT doc, toks, {sig} AS sig FROM base
+        ), bands AS (
+            SELECT doc, toks, unnest([{band_structs}], recursive := true)
+            FROM sigs
+        ), cand AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                   a.toks AS toks_a, b.toks AS toks_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_val = b.band_val
+            WHERE a.doc < b.doc
+        )
+        SELECT doc_a, doc_b,
+               ROUND(len(list_intersect(toks_a, toks_b))::DOUBLE /
+                     (len(toks_a) + len(toks_b) - len(list_intersect(toks_a, toks_b)))::DOUBLE,
+                     6) AS jaccard
+        FROM cand
+        WHERE len(list_intersect(toks_a, toks_b))::DOUBLE /
+              (len(toks_a) + len(toks_b) - len(list_intersect(toks_a, toks_b)))::DOUBLE >= 0.5
     """
-    return {}

@@ -1,0 +1,99 @@
+"""Deterministic, JVM-side hashing primitives (no Python on the hot path).
+
+Everything here is built from Spark SQL higher-order functions
+(``transform``/``aggregate``/``sequence``) over plain int64 arithmetic, so:
+  * the whole computation stays inside WholeStageCodegen (no UDF),
+  * an independent engine (DuckDB, for the driver oracle) can reproduce the
+    exact same values with the exact same arithmetic — unlike engine-native
+    ``hash()``/``xxhash64`` whose algorithms differ between engines.
+
+Primitives:
+  poly_hash      — 31-polynomial rolling hash of a string mod 2^31-1
+                   (the "document fingerprinting" op)
+  token_hashes   — poly_hash per whitespace token -> array<bigint>
+  minhash_sig    — k-permutation MinHash signature over token hashes
+  simhash32      — 32-bit SimHash over token hashes
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = 2_147_483_647  # 2^31 - 1, prime
+
+
+def char_codes(col: Column) -> Column:
+    """array<int> of character code points (first-65536 plane ascii())."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(col.substr(i, F.lit(1))),
+    )
+
+
+def poly_hash(col: Column) -> Column:
+    """h = fold(chars, 0, (acc, c) -> (acc*31 + c) mod (2^31-1))  :: bigint"""
+    return F.aggregate(
+        char_codes(col),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + c.cast("long")) % F.lit(MOD),
+    )
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (empty tokens dropped)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_hashes(col: Column) -> Column:
+    """array<bigint> of per-token polynomial hashes."""
+    return F.transform(tokens(col), poly_hash)
+
+
+def minhash_perms(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Fixed (a, b) pairs for h_i(x) = (a*x + b) mod (2^31-1)."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MOD), rng.randrange(0, MOD)) for _ in range(k)]
+
+
+def minhash_sig(hashes: Column, perms: list[tuple[int, int]]) -> Column:
+    """MinHash signature: array<bigint> of length k.
+
+    For each permutation i: min over token hashes of (a_i*h + b_i) mod p.
+    Empty token list -> array of p (sentinel), so empty docs never collide
+    with real ones.
+    """
+    def perm_min(a: int, b: int):
+        def step(acc, h):
+            return F.least(acc, (h * F.lit(a) + F.lit(b)) % F.lit(MOD))
+
+        return F.aggregate(hashes, F.lit(MOD).cast("long"), step)
+
+    return F.array(*[perm_min(a, b) for a, b in perms])
+
+
+def simhash32(hashes: Column) -> Column:
+    """32-bit SimHash packed into a bigint.
+
+    bit b set iff sum over tokens of (+1 if bit b of token-hash set else -1)
+    is > 0. Pure int64 arithmetic (shiftright + mod), mirrorable in SQL.
+    """
+    def bit_balance(b: int) -> Column:
+        def step(acc, h):
+            return acc + F.when(F.shiftright(h, b) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.aggregate(hashes, F.lit(0).cast("long"), step)
+
+    out = F.lit(0).cast("long")
+    for b in range(32):
+        out = out + F.when(bit_balance(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,102 @@
+"""Deterministic HTML -> text extraction.
+
+This is the payload-decode stage of the pipeline — the analog of the
+reference's protobuf decode (`lib/Gtfsrt2LC.js:61-66`,
+``transit_realtime.FeedMessage.decode``): raw ``binary`` in, structured
+content out.
+
+Requirements (BASELINE.json input_hint):
+  * byte-identical output per url across runs, machines and Spark plans —
+    so the algorithm is pure Python, zero dependencies, no locale/env/clock
+    input, and it is exercised via an Arrow-batched pandas UDF (never
+    row-at-a-time Python).
+
+Algorithm (fixed; changing it invalidates committed golden fixtures):
+  1. decode bytes as UTF-8 with errors='replace'
+  2. drop <script>/<style>/<noscript>/<template> elements and <!-- comments -->
+  3. block-level tags (p, div, br, li, tr, h1..h6, section, article, header,
+     footer, nav, table, ul, ol, blockquote, pre, title) become '\n';
+     all other tags become ''
+  4. unescape the 6 core entities + numeric character references
+  5. collapse runs of spaces/tabs to one space; strip each line;
+     collapse runs of blank lines; strip leading/trailing whitespace
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BLOCK_TAGS = (
+    "p|div|br|li|tr|h1|h2|h3|h4|h5|h6|section|article|header|footer|nav|"
+    "table|ul|ol|blockquote|pre|title"
+)
+
+_RE_DROP = re.compile(
+    r"<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_RE_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+_RE_BLOCK = re.compile(rf"</?({_BLOCK_TAGS})\b[^>]*>", re.IGNORECASE)
+_RE_TAG = re.compile(r"<[^>]*>")
+_RE_NUMERIC_ENT = re.compile(r"&#(x[0-9a-fA-F]+|[0-9]+);")
+_RE_SPACES = re.compile(r"[ \t\r\f\v]+")
+_RE_BLANKLINES = re.compile(r"\n{2,}")
+
+_NAMED_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&apos;": "'",
+    "&nbsp;": " ",
+}
+
+
+def _unescape_numeric(m: re.Match) -> str:
+    body = m.group(1)
+    try:
+        cp = int(body[1:], 16) if body[0] in "xX" else int(body)
+        if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+            return chr(cp)
+    except ValueError:
+        pass
+    return m.group(0)
+
+
+def extract_text_str(html: str) -> str:
+    """Pure deterministic extraction over an already-decoded string."""
+    s = _RE_COMMENT.sub("", html)
+    s = _RE_DROP.sub("", s)
+    s = _RE_BLOCK.sub("\n", s)
+    s = _RE_TAG.sub("", s)
+    for ent, ch in _NAMED_ENTITIES.items():
+        s = s.replace(ent, ch)
+    s = _RE_NUMERIC_ENT.sub(_unescape_numeric, s)
+    s = _RE_SPACES.sub(" ", s)
+    lines = [ln.strip() for ln in s.split("\n")]
+    s = "\n".join(lines)
+    s = _RE_BLANKLINES.sub("\n", s)
+    return s.strip()
+
+
+def extract_text_bytes(html: bytes | None) -> str | None:
+    """Bytes-in variant — the exact function applied per page."""
+    if html is None:
+        return None
+    return extract_text_str(html.decode("utf-8", errors="replace"))
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched extraction UDF: html binary -> extracted text.
+
+    Vectorized over Arrow record batches; per-element work is the pure
+    extractor above. This is the only Python stage on the pipeline's hot
+    path (ref analog: `lib/Gtfsrt2LC.js:61-66`).
+    """
+    return html.map(extract_text_bytes)

@@ -1,0 +1,117 @@
+"""Connected components over a DataFrame edge list.
+
+Large-star / small-star alternation (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) — the canonical O(log n)-round, shuffle-bounded
+algorithm, expressed entirely as DataFrame ops in a driver-side convergence
+loop. No GraphFrames dependency.
+
+This is the canonicalization stage of the KG pipeline (ref analog: the repair
+pass that unifies partial records per trip, `lib/Gtfsrt2LC.js:438-665`): KB
+records connected by sameAs/coref edges collapse to one canonical id = the
+minimum member of the component.
+
+Scale posture: each round is two shuffles (groupBy src); ``localCheckpoint``
+after every round truncates lineage so plans stay bounded; skewed high-degree
+stars are exactly what large-star is designed to flatten. Convergence test is
+an aggregate (count + checksum), not a collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    fwd = edges.select(F.col("src"), F.col("dst"))
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.union(rev).where(F.col("src") != F.col("dst")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to m = min(N(u) ∪ {u}).
+
+    Operates on the undirected graph: symmetrize before grouping."""
+    nbrs = _symmetrize(edges).groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    nbrs = nbrs.withColumn("m", F.least(F.array_min("nbrs"), F.col("src")))
+    out = (
+        nbrs.select(
+            F.explode(F.filter("nbrs", lambda v: v > F.col("src"))).alias("v"),
+            F.col("m"),
+        )
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+    return out
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For edges directed large->small: connect all small neighbors and u
+    itself to m = min(N(u) ∪ {u})."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    nbrs = directed.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    nbrs = nbrs.withColumn("m", F.array_min("nbrs"))
+    out = (
+        nbrs.select(
+            F.explode(F.array_union("nbrs", F.array("src"))).alias("v"),
+            F.col("m"),
+        )
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+    return out
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Return (vertex, component) where component = min vertex id reachable.
+
+    Vertices appearing only as isolated nodes must be unioned in by the
+    caller (they map to themselves).
+    """
+    e = _symmetrize(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    e = e.localCheckpoint()
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: every edge is (member, root). Roots map to themselves.
+    members = e.select(
+        F.greatest("src", "dst").alias("vertex"), F.least("src", "dst").alias("component")
+    ).distinct()
+    roots = members.select(F.col("component").alias("vertex")).distinct().withColumn(
+        "component", F.col("vertex")
+    )
+    return members.unionByName(roots).groupBy("vertex").agg(
+        F.min("component").alias("component")
+    )
+
+
+def assign_components(vertices: DataFrame, edges: DataFrame, vertex_col: str = "vertex") -> DataFrame:
+    """Component id for every vertex in ``vertices`` (isolated -> itself)."""
+    cc = connected_components(edges)
+    return (
+        vertices.select(F.col(vertex_col).alias("vertex"))
+        .distinct()
+        .join(cc, "vertex", "left")
+        .select(
+            F.col("vertex"),
+            F.coalesce(F.col("component"), F.col("vertex")).alias("component"),
+        )
+    )

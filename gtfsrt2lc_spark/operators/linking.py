@@ -1,0 +1,119 @@
+"""Entity linking: broadcast-dictionary exact match + MinHash-LSH fuzzy match.
+
+Reference analog: trip deduction (`lib/Gtfsrt2LC.js:323-394`) — candidate
+generation by a blocking key (route_id ≙ LSH band bucket), then scoring
+filters (direction/startTime/calendar ≙ Jaccard threshold), then a
+deterministic winner (last match wins at `:376,380` ≙ highest score, ties by
+record_id).
+
+Scale posture: the dictionary is the build side of a broadcast hash join
+(MemStore analog, `lib/GtfsIndex.js:99-105`); the mention stream never
+shuffles for the exact pass. The fuzzy pass shuffles only *unmatched distinct
+surfaces* (tiny relative to mentions) against LSH band buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gtfsrt2lc_spark.functions.hashing import minhash_perms, minhash_sig, poly_hash
+
+
+def resolve_dictionary(surfaces: DataFrame) -> DataFrame:
+    """(surface, record_id, prior) -> unique best record per surface.
+
+    Deterministic winner: highest prior, then smallest record_id — the
+    engine's version of the reference's last-match-wins tie-break.
+    """
+    w = Window.partitionBy("surface").orderBy(F.col("prior").desc(), F.col("record_id"))
+    return (
+        surfaces.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def link_exact(
+    mentions: DataFrame, dictionary: DataFrame, surface_col: str = "surface"
+) -> DataFrame:
+    """Broadcast equi-join mentions to the pre-resolved dictionary.
+
+    Output: mentions + (record_id, prior); unmatched rows keep null record_id
+    (caller routes them to the fuzzy pass).
+    """
+    dic = resolve_dictionary(dictionary)
+    return mentions.join(
+        F.broadcast(dic.withColumnRenamed("surface", surface_col)),
+        on=surface_col,
+        how="left",
+    )
+
+
+def _shingles(col, n: int = 3):
+    padded = F.lower(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1))),
+            lambda i: padded.substr(i, F.lit(n)),
+        )
+    )
+
+
+def link_fuzzy(
+    surfaces_q: DataFrame,
+    dictionary: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Fuzzy-link distinct unmatched surfaces to dictionary entries.
+
+    surfaces_q: one column ``surface`` (distinct). Returns
+    (surface, record_id, score) for the best match with character-3-gram
+    Jaccard >= threshold.
+
+    MinHash-LSH candidate generation (band-bucket equi-join) then exact
+    Jaccard verification on candidates only.
+    """
+    rows = n_hashes // bands
+    perms = minhash_perms(n_hashes, seed=seed)
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        sh = _shingles(F.col("surface"))
+        hashed = F.transform(sh, poly_hash)
+        out = df.select(
+            F.col("surface").alias(f"surface_{side}"),
+            *([F.col("record_id")] if side == "d" else []),
+            hashed.alias(f"sh_{side}"),
+        ).withColumn(f"sig_{side}", minhash_sig(F.col(f"sh_{side}"), perms))
+        bandcols = [
+            F.concat_ws(
+                "_",
+                F.lit(bi),
+                *[F.col(f"sig_{side}")[bi * rows + r].cast("string") for r in range(rows)],
+            )
+            for bi in range(bands)
+        ]
+        return out.withColumn("band", F.explode(F.array(*bandcols))).drop(f"sig_{side}")
+
+    q = prep(surfaces_q.select("surface").distinct(), "q")
+    d = prep(resolve_dictionary(dictionary), "d")
+
+    cand = (
+        q.join(d, "band")
+        .drop("band")
+        .dropDuplicates(["surface_q", "record_id"])
+    )
+    inter = F.size(F.array_intersect("sh_q", "sh_d"))
+    union = F.size("sh_q") + F.size("sh_d") - inter
+    scored = cand.withColumn(
+        "score", (inter.cast("double") / union.cast("double"))
+    ).where(F.col("score") >= jaccard_threshold)
+    w = Window.partitionBy("surface_q").orderBy(F.col("score").desc(), F.col("record_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("surface_q").alias("surface"), "record_id", "score")
+    )

@@ -1,0 +1,187 @@
+"""The end-to-end KG-construction pipeline (the engine's flagship plan).
+
+Stages (SURVEY.md §7.1; reference analogs cited per stage):
+
+  1. latest-wins page dedup            (history/differential analog, lib/Gtfsrt2LC.js:667-751)
+  2. Arrow-UDF text extraction         (protobuf decode analog,      lib/Gtfsrt2LC.js:61-66)
+  3. sentence split + SVO extraction   (pairwise connection forming, lib/Gtfsrt2LC.js:162-229)
+  4. entity linking: broadcast exact + MinHash-LSH fuzzy
+                                       (trip deduction,              lib/Gtfsrt2LC.js:323-394)
+  5. connected-components canonicalization over sameAs edges
+                                       (repair/unification pass,     lib/Gtfsrt2LC.js:438-665)
+  6. IRI minting                       (URI templates,               lib/Utils.js:9-66)
+  7. triple dedup + provenance         (12-quad explode,             lib/Connections2Triples.js:14-104)
+
+Everything is declarative DataFrame ops except stage 2 (Arrow pandas UDF, the
+sanctioned slow path). Joins against the KB are broadcast; the only wide
+shuffles are the final triple dedup (keyed by (s,p,o)) and the window for
+latest-wins (keyed by url) — both scale linearly with pages and are
+AQE-skew-splittable (hot domains salt naturally through url hashing).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gtfsrt2lc_spark.functions.iri import entity_iri, predicate_iri
+from gtfsrt2lc_spark.functions.text import extract_text_udf
+from gtfsrt2lc_spark.operators.components import connected_components
+from gtfsrt2lc_spark.operators.dedup import latest_by_key
+from gtfsrt2lc_spark.operators.linking import link_exact, link_fuzzy
+
+# a "mention" is a capitalized token span; predicates are a fixed phrase lexicon
+_MENTION = r"[A-Z][\w.]*(?: [A-Z][\w.]*)*"
+
+
+class KGPipeline:
+    """Holds the (small, broadcastable) KB sides and composes the plan.
+
+    records:   (record_id, name, entity_type)
+    surfaces:  (surface, record_id, prior)
+    sameas:    (src, dst) record-equivalence edges
+    predicates: phrase -> predicate local name
+    """
+
+    def __init__(
+        self,
+        records: DataFrame,
+        surfaces: DataFrame,
+        sameas: DataFrame,
+        predicates: dict[str, str],
+        fuzzy: bool = True,
+        fuzzy_threshold: float = 0.5,
+    ) -> None:
+        self.records = records
+        self.surfaces = surfaces
+        self.sameas = sameas
+        self.predicates = predicates
+        self.fuzzy = fuzzy
+        self.fuzzy_threshold = fuzzy_threshold
+        self._canonical_map: DataFrame | None = None
+        phrases = sorted(predicates, key=len, reverse=True)
+        alt = "|".join(re.escape(p) for p in phrases)
+        self._svo_pattern = rf"^({_MENTION}) ({alt}) ({_MENTION})\.$"
+
+    # ---- stage 1+2 -------------------------------------------------------
+    def extracted(self, pages: DataFrame) -> DataFrame:
+        """Latest snapshot per url, with deterministically extracted text."""
+        latest = latest_by_key(pages, "url", "warc_ts")
+        return latest.withColumn("extracted_text", extract_text_udf(F.col("html")))
+
+    # ---- stage 3 ---------------------------------------------------------
+    def mentions(self, extracted: DataFrame) -> DataFrame:
+        """(url, subj_surface, pred_phrase, obj_surface) candidate facts.
+
+        Sentence split + anchored SVO regex, all JVM-side (regexp_extract).
+        Carries ``part_id`` through when present (manifest mode)."""
+        carry = ["url"] + (["part_id"] if "part_id" in extracted.columns else [])
+        sent = extracted.select(
+            *carry,
+            F.explode(
+                # newline = paragraph boundary; '. ' splits only when the
+                # period is not an initial like "A." (abbreviation guard)
+                F.split(
+                    F.col("extracted_text"), r"\n|(?<=(?<![A-Z])[.!?])\s+(?=[A-Z])"
+                )
+            ).alias("sentence"),
+        )
+        p = self._svo_pattern
+        svo = sent.select(
+            *carry,
+            F.regexp_extract("sentence", p, 1).alias("subj_surface"),
+            F.regexp_extract("sentence", p, 2).alias("pred_phrase"),
+            F.regexp_extract("sentence", p, 3).alias("obj_surface"),
+        ).where(F.col("pred_phrase") != "")
+        return svo
+
+    # ---- stage 4 ---------------------------------------------------------
+    def _link_surfaces(self, mentions: DataFrame, col: str) -> DataFrame:
+        """Attach <col>_record via exact broadcast join, then LSH fuzzy
+        fallback for surfaces the dictionary misses."""
+        out = link_exact(
+            mentions.withColumnRenamed(col, "surface"), self.surfaces
+        ).withColumnRenamed("record_id", f"{col}_record").drop("prior")
+        if self.fuzzy:
+            unmatched = out.where(F.col(f"{col}_record").isNull()).select("surface").distinct()
+            fz = link_fuzzy(
+                unmatched, self.surfaces, jaccard_threshold=self.fuzzy_threshold
+            ).select("surface", F.col("record_id").alias("_fz_record"))
+            out = out.join(F.broadcast(fz), "surface", "left").withColumn(
+                f"{col}_record", F.coalesce(F.col(f"{col}_record"), F.col("_fz_record"))
+            ).drop("_fz_record")
+        return out.withColumnRenamed("surface", col)
+
+    def linked(self, mentions: DataFrame) -> DataFrame:
+        """Mentions with subject/object KB record ids; unlinkable rows drop
+        (inner semantics, like the reference's silent skip on missing
+        static data, lib/Gtfsrt2LC.js:98-111)."""
+        m = self._link_surfaces(mentions, "subj_surface")
+        m = self._link_surfaces(m, "obj_surface")
+        return m.where(
+            F.col("subj_surface_record").isNotNull() & F.col("obj_surface_record").isNotNull()
+        )
+
+    # ---- stage 5+6 -------------------------------------------------------
+    def canonical_map(self) -> DataFrame:
+        """record_id -> (canonical_record, canonical IRI).
+
+        Connected components over sameAs edges; component id = min record_id;
+        IRI minted from the canonical record's name. Computed once per
+        pipeline instance and cached (the KB is static across micro-batches —
+        the reference's index-reuse pattern, README.md:58)."""
+        if self._canonical_map is not None:
+            return self._canonical_map
+        cc = connected_components(self.sameas)
+        recs = self.records.select("record_id", "name")
+        mapped = (
+            recs.join(cc, recs.record_id == cc.vertex, "left")
+            .select(
+                "record_id",
+                F.coalesce(F.col("component"), F.col("record_id")).alias("canonical_record"),
+            )
+        )
+        canon_names = recs.withColumnRenamed("record_id", "canonical_record").withColumnRenamed(
+            "name", "canonical_name"
+        )
+        out = mapped.join(canon_names, "canonical_record").select(
+            "record_id",
+            "canonical_record",
+            entity_iri(F.col("canonical_name")).alias("iri"),
+        )
+        self._canonical_map = out.localCheckpoint()
+        return self._canonical_map
+
+    # ---- stage 7 ---------------------------------------------------------
+    def triples(self, pages: DataFrame, with_part: bool = False) -> DataFrame:
+        """Deduplicated (subj, pred, obj, graph) — graph = min provenance url.
+
+        with_part=True additionally carries ``part_id`` (for the checkpoint
+        manifest) and dedups per (part, s, p, o)."""
+        linked = self.linked(self.mentions(self.extracted(pages)))
+        canon = F.broadcast(self.canonical_map())
+
+        pred_map = F.create_map(
+            *[F.lit(x) for kv in self.predicates.items() for x in kv]
+        )
+        t = (
+            linked.join(
+                canon.select(
+                    F.col("record_id").alias("subj_surface_record"),
+                    F.col("iri").alias("subj"),
+                ),
+                "subj_surface_record",
+            )
+            .join(
+                canon.select(
+                    F.col("record_id").alias("obj_surface_record"),
+                    F.col("iri").alias("obj"),
+                ),
+                "obj_surface_record",
+            )
+            .withColumn("pred", predicate_iri(pred_map[F.col("pred_phrase")]))
+        )
+        keys = ["part_id", "subj", "pred", "obj"] if with_part else ["subj", "pred", "obj"]
+        return t.groupBy(*keys).agg(F.min("url").alias("graph"))

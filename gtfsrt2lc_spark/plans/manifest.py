@@ -1,0 +1,118 @@
+"""Checkpoint manifest: per-partition lineage + metrics, idempotent resume.
+
+Reference analog: the LevelDB history store (`lib/Gtfsrt2LC.js:667-751`) —
+state that makes a re-run over the same input emit nothing new (the
+reference's own test: second run yields exactly 0 connections,
+`test/gtfsrt2lc.test.js:156`).
+
+Design: pages are bucketed by ``pmod(xxhash64(url), n_buckets)``. One run
+processes only buckets absent from the manifest, appends triples
+partitioned by ``part_id``, and appends one manifest row per finished bucket:
+
+  (part_id, n_docs, n_triples, input_fingerprint, run_id, wall_ms, status)
+
+Resume = anti-join pending buckets; a crashed run leaves at most its
+in-flight buckets unrecorded, which simply re-run next time (idempotent:
+triples are deduped per (part, s, p, o) and readers dedup across parts).
+At 10^12 docs the manifest stays tiny (one row per bucket), the anti-join is
+a broadcast, and bucket counts bound retry granularity.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "part_id int, n_docs long, n_triples long, input_fingerprint long, "
+    "run_id string, wall_ms long, status string"
+)
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def _triples_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "triples")
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    path = _manifest_path(out_dir)
+    try:
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Global triple view: cross-partition dedup at read time."""
+    t = spark.read.parquet(_triples_path(out_dir))
+    return t.groupBy("subj", "pred", "obj").agg(F.min("graph").alias("graph"))
+
+
+def run_incremental(
+    spark: SparkSession,
+    pages: DataFrame,
+    pipeline,
+    out_dir: str,
+    n_buckets: int = 16,
+    run_id: str = "run",
+) -> dict:
+    """Process all not-yet-done buckets; return metrics dict.
+
+    Second invocation over the same pages is a no-op (0 new triples).
+    """
+    t0 = time.monotonic()
+    bucketed = pages.withColumn(
+        "part_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+    done = read_manifest(spark, out_dir).where(F.col("status") == "done").select("part_id")
+    todo = bucketed.join(F.broadcast(done), "part_id", "left_anti")
+
+    part_stats = (
+        todo.groupBy("part_id")
+        .agg(
+            F.countDistinct("url").alias("n_docs"),
+            F.bit_xor(F.xxhash64("url", "warc_ts")).alias("input_fingerprint"),
+        )
+    ).cache()
+    todo_parts = [r["part_id"] for r in part_stats.select("part_id").collect()]
+    if not todo_parts:
+        part_stats.unpersist()
+        return {"parts": 0, "n_docs": 0, "n_triples": 0, "wall_ms": 0}
+
+    triples = pipeline.triples(todo, with_part=True)
+    triples.write.mode("append").partitionBy("part_id").parquet(_triples_path(out_dir))
+
+    written = spark.read.parquet(_triples_path(out_dir)).where(
+        F.col("part_id").isin(todo_parts)
+    )
+    tri_stats = written.groupBy("part_id").agg(F.count("*").alias("n_triples"))
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    manifest_rows = (
+        part_stats.join(tri_stats, "part_id", "left")
+        .select(
+            "part_id",
+            "n_docs",
+            F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+            "input_fingerprint",
+            F.lit(run_id).alias("run_id"),
+            F.lit(wall_ms).alias("wall_ms"),
+            F.lit("done").alias("status"),
+        )
+    )
+    manifest_rows.write.mode("append").parquet(_manifest_path(out_dir))
+    totals = manifest_rows.agg(
+        F.sum("n_docs").alias("d"), F.sum("n_triples").alias("t")
+    ).collect()[0]
+    part_stats.unpersist()
+    return {
+        "parts": len(todo_parts),
+        "n_docs": totals["d"] or 0,
+        "n_triples": totals["t"] or 0,
+        "wall_ms": wall_ms,
+    }

@@ -1,0 +1,74 @@
+"""Dedup operator family: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gtfsrt2lc_spark.operators.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    latest_by_key,
+    neardup_pairs_minhash,
+    neardup_pairs_simhash,
+    ngram_jaccard,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),  # near dup of 1
+    (4, "entirely different content about spark engines and shuffles"),
+    (5, "shuffles and engines spark about content different entirely"),  # permutation of 4
+    (6, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    kept = dedup_exact(docs, "text", "doc_id")
+    assert kept.count() == 5
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4, 5, 6}
+    groups = exact_dup_groups(docs, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["keeper_id"] == 1 and groups[0]["n_dups"] == 2
+
+
+def test_latest_by_key(spark):
+    df = spark.createDataFrame(
+        [("u", 1, "old"), ("u", 3, "new"), ("u", 2, "mid"), ("v", 1, "only")],
+        "k string, ts long, v string",
+    )
+    got = {r["k"]: r["v"] for r in latest_by_key(df, "k", "ts").collect()}
+    assert got == {"u": "new", "v": "only"}
+
+
+def test_minhash_neardup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in neardup_pairs_minhash(docs, "doc_id", "text", jaccard_threshold=0.7).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.7 <= pairs[(1, 3)] < 1.0
+    assert (4, 5) in pairs and pairs[(4, 5)] == 1.0  # token-set equal
+    assert not any(6 in p for p in pairs)
+
+
+def test_simhash_neardup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             neardup_pairs_simhash(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(4, 5)] == 0  # simhash is bag-of-words, order-insensitive
+    assert (1, 3) in pairs  # one-token swap -> small hamming distance
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           ngram_jaccard(docs, "doc_id", "text", pairs, n=2).collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.4 < got[(1, 3)] < 1.0  # bigrams penalize the swap more than unigrams
+    assert got[(1, 4)] == 0.0

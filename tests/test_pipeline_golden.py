@@ -1,0 +1,90 @@
+"""End-to-end golden-triple parity (the BASELINE.json correctness target).
+
+Mirrors the reference's fixture-driven E2E tests with exact golden counts
+(`test/gtfsrt2lc.test.js:394-485`): the synthetic corpus plants every fact,
+so the expected (subj, pred, obj) set is known by construction; we assert
+precision and recall >= 0.95 (they should be 1.0 on the clean corpus).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gtfsrt2lc_spark.fixtures.pages import PREDICATES
+from gtfsrt2lc_spark.plans.kg_pipeline import KGPipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline(corpus_dfs):
+    pages, records, surfaces, sameas = corpus_dfs
+    preds = {phrase: local for phrase, (local, _, _) in PREDICATES.items()}
+    return KGPipeline(records, surfaces, sameas, preds)
+
+
+@pytest.fixture(scope="module")
+def result_triples(pipeline, corpus_dfs):
+    pages = corpus_dfs[0]
+    return {
+        (r["subj"], r["pred"], r["obj"])
+        for r in pipeline.triples(pages).collect()
+    }
+
+
+def test_precision_recall(result_triples, corpus):
+    golden = corpus.golden_triples
+    assert golden, "corpus must plant facts"
+    tp = len(result_triples & golden)
+    precision = tp / len(result_triples) if result_triples else 0.0
+    recall = tp / len(golden)
+    assert precision >= 0.95, f"precision {precision:.3f}; spurious: {sorted(result_triples - golden)[:5]}"
+    assert recall >= 0.95, f"recall {recall:.3f}; missed: {sorted(golden - result_triples)[:5]}"
+
+
+def test_triples_well_formed(result_triples):
+    for s, p, o in result_triples:
+        assert s.startswith("http://example.org/kg/entity/")
+        assert p.startswith("http://example.org/kg/ontology#")
+        assert o.startswith("http://example.org/kg/entity/")
+
+
+def test_strategy_equivalence(pipeline, corpus_dfs, spark, result_triples):
+    """Broadcast-join plan vs forced shuffle plan give identical triples —
+    the analog of the reference's MemStore/grep/LevelStore equivalence
+    (`test/gtfsrt2lc.test.js:394-485`)."""
+    pages = corpus_dfs[0]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffled = {
+            (r["subj"], r["pred"], r["obj"])
+            for r in pipeline.triples(pages.repartition(7)).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert shuffled == result_triples
+
+
+def test_latest_wins_recrawl(pipeline, corpus_dfs, corpus, spark):
+    """Re-crawled urls: only the newest snapshot contributes (T3 analog)."""
+    pages = corpus_dfs[0]
+    n_urls = pages.select("url").distinct().count()
+    n_rows = pages.count()
+    assert n_rows > n_urls, "corpus must contain re-crawled urls"
+    extracted = pipeline.extracted(pages)
+    assert extracted.count() == n_urls
+
+
+def test_fuzzy_linking_recovers_typos(spark, corpus_dfs, corpus):
+    """A typo'd surface links to the right record via MinHash-LSH."""
+    _, records, surfaces, sameas = corpus_dfs
+    from gtfsrt2lc_spark.operators.linking import link_fuzzy
+
+    queries = spark.createDataFrame(
+        [("Ada Lovelacee",), ("Grace Hoper",), ("Stark Industres",)], "surface string"
+    )
+    got = {r["surface"]: r["record_id"] for r in link_fuzzy(queries, surfaces).collect()}
+    rec_by_name = {name: rid for rid, name, _ in corpus.records}
+    assert got.get("Ada Lovelacee") == rec_by_name["Ada Lovelace"]
+    assert got.get("Grace Hoper") == rec_by_name["Grace Hopper"]
+    assert got.get("Stark Industres") == rec_by_name["Stark Industries"]

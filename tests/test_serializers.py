@@ -1,0 +1,53 @@
+"""N-Quads / JSON-LD serialization round-trips (ref: Connections2Triples /
+Connections2JSONLD output formats, `test/gtfsrt2lc.test.js:267-392`)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from gtfsrt2lc_spark.sources.jsonld import to_jsonld_lines, write_jsonld
+from gtfsrt2lc_spark.sources.nquads import read_nquads, to_nquads_lines, write_nquads
+
+TRIPLES = [
+    ("http://ex.org/e/A", "http://ex.org/o#p", "http://ex.org/e/B", "http://src/1"),
+    ("http://ex.org/e/A", "http://ex.org/o#p", "http://ex.org/e/C", "http://src/2"),
+    ("http://ex.org/e/B", "http://ex.org/o#q", 'lit with "quotes" and \\slash', "http://src/3"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(TRIPLES, "subj string, pred string, obj string, graph string")
+
+
+def test_nquads_lines(spark):
+    lines = sorted(r["line"] for r in to_nquads_lines(_df(spark)).collect())
+    assert lines[0] == "<http://ex.org/e/A> <http://ex.org/o#p> <http://ex.org/e/B> <http://src/1> ."
+    assert '"lit with \\"quotes\\" and \\\\slash"' in lines[2]
+
+
+def test_nquads_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "nq")
+    write_nquads(_df(spark), path)
+    back = read_nquads(spark, path)
+    got = {(r["subj"], r["pred"], r["obj"], r["graph"]) for r in back.collect()}
+    assert got == set(TRIPLES)
+
+
+def test_ntriples_mode(spark):
+    lines = to_nquads_lines(_df(spark), graph=None).collect()
+    assert all(r["line"].count("<http://src/") == 0 for r in lines)
+
+
+def test_jsonld_nodes(spark, tmp_path):
+    path = str(tmp_path / "jld")
+    write_jsonld(_df(spark), path)
+    assert os.path.exists(os.path.join(path, "context.jsonld"))
+    nodes = [json.loads(r["line"]) for r in to_jsonld_lines(_df(spark)).collect()]
+    by_id = {n["@id"]: n for n in nodes}
+    assert set(by_id["http://ex.org/e/A"]["props"]["http://ex.org/o#p"]) == {
+        "http://ex.org/e/B",
+        "http://ex.org/e/C",
+    }

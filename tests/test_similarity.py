@@ -1,0 +1,64 @@
+"""Similarity search: brute-force cosine top-k + LSH-bucketed ANN."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gtfsrt2lc_spark.operators.similarity import brute_force_topk, cosine, lsh_topk
+
+DIM = 16
+
+
+def _vecs(n=100, seed=7):
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        v = [rng.gauss(0, 1) for _ in range(DIM)]
+        out.append((i, v))
+    # plant a close neighbor of vector 0
+    base = out[0][1]
+    out.append((n, [x + rng.gauss(0, 0.01) for x in base]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(_vecs(), "vec_id long, embedding array<float>")
+
+
+def test_cosine_column(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+                               "a array<float>, b array<float>")
+    got = [r["c"] for r in df.select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()]
+    assert got == [1.0, 0.0]
+
+
+def test_brute_force_topk_finds_planted_neighbor(emb):
+    q = emb.where(F.col("vec_id") == 0)
+    top = brute_force_topk(emb, q, k=3)
+    rows = top.orderBy("rank").collect()
+    assert rows[0]["vec_id"] == 100  # planted near-duplicate
+    assert rows[0]["cos"] > 0.99
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+
+
+def test_lsh_topk_recovers_close_neighbor(emb):
+    q = emb.where(F.col("vec_id") == 0)
+    approx = lsh_topk(emb, q, dim=DIM, k=3, n_bits=6, n_tables=6)
+    rows = approx.orderBy("rank").collect()
+    assert rows, "LSH returned no candidates"
+    assert rows[0]["vec_id"] == 100  # near-identical vector shares every bucket
+
+
+def test_lsh_is_subset_quality(emb):
+    """LSH top-1 cosine should be close to exact top-1 for every query."""
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {r["query_id"]: r["cos"] for r in brute_force_topk(emb, q, k=1).collect()}
+    approx = {r["query_id"]: r["cos"] for r in
+              lsh_topk(emb, q, dim=DIM, k=1, n_bits=4, n_tables=8).collect()}
+    for qid, c in approx.items():
+        assert c <= exact[qid] + 1e-9

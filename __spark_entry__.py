@@ -165,11 +165,15 @@ def q_map_agg(spark, sf_dir):
 
 
 def q_first_per_group(spark, sf_dir):
-    """Extremum row per group (ref A4 firstStops, lib/GtfsIndex.js:220-222)."""
+    """Extremum row per group (ref A4 firstStops, lib/GtfsIndex.js:220-222).
+    Tie-safe: lineitem has duplicate (orderkey, linenumber) rows, so the
+    extremum is min over a (linenumber, partkey) struct."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_orderkey").agg(
-        F.min_by("l_partkey", "l_linenumber").alias("first_partkey"),
-        F.min("l_linenumber").alias("first_line"),
+    m = F.min(F.struct(F.col("l_linenumber").alias("ln"), F.col("l_partkey").alias("pk")))
+    return li.groupBy("l_orderkey").agg(m.alias("m")).select(
+        "l_orderkey",
+        F.col("m.pk").alias("first_partkey"),
+        F.col("m.ln").alias("first_line"),
     )
 
 
@@ -409,13 +413,15 @@ def q_exact_dup_groups(spark, sf_dir):
 
 
 def q_minhash_neardup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified (J >= 0.5).
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (J >= 0.9).
 
     The oracle reproduces the identical affine-permutation MinHash in SQL, so
-    banding decisions match bit-for-bit between engines."""
-    d = _t(spark, sf_dir, "documents")
+    banding decisions match bit-for-bit between engines. Input bounded to
+    doc_id < 300: the synthetic corpus is near-degenerate (tiny shared
+    vocabulary), so unbounded pair output grows quadratically."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     return neardup_pairs_minhash(
-        d, "doc_id", "text", n_hashes=16, bands=8, jaccard_threshold=0.5
+        d, "doc_id", "text", n_hashes=16, bands=8, jaccard_threshold=0.9
     )
 
 
@@ -580,9 +586,9 @@ def q_connected_components(spark, sf_dir):
     a = d.select(F.col("doc_id").alias("src"), F.col("lang").alias("lang_a"))
     b = d.select((F.col("doc_id") - 1).alias("src"), F.col("doc_id").alias("dst"), F.col("lang").alias("lang_b"))
     edges = a.join(b, "src").where(F.col("lang_a") == F.col("lang_b")).select("src", "dst")
-    cc = connected_components(
-        edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
-    )
+    # zero-pad ids so lexicographic vertex order == numeric order
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    cc = connected_components(edges.select(pad("src").alias("src"), pad("dst").alias("dst")))
     return cc.groupBy(F.col("component").cast("long").alias("component")).agg(
         F.count("*").alias("size")
     ).where(F.col("size") > 1)
@@ -751,8 +757,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "first_per_group": """
             SELECT l_orderkey,
-                   min_by(l_partkey, l_linenumber) AS first_partkey,
-                   MIN(l_linenumber) AS first_line
+                   (min({'ln': l_linenumber, 'pk': l_partkey})).pk AS first_partkey,
+                   (min({'ln': l_linenumber, 'pk': l_partkey})).ln AS first_line
             FROM lineitem GROUP BY l_orderkey
         """,
         "last_write_wins": """
@@ -885,12 +891,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "time_buckets": """
-            SELECT (epoch(ts) // 300) * 300 AS bucket_start, event_type,
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_start,
+                   event_type,
                    COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
             FROM events
             GROUP BY 1, 2
-            HAVING (epoch(ts) // 300) * 300 < 1704070800
+            HAVING bucket_start < 1704070800
         """,
         # ----- corpus ops -----
         "doc_fingerprint": f"""
@@ -1011,14 +1018,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.doc_id AS src, b.doc_id AS dst
                 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
                 WHERE a.lang = b.lang
+            ), sym AS (
+                SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
             ), verts AS (
-                SELECT src AS v FROM edges UNION SELECT dst FROM edges
+                SELECT src AS v FROM sym
             ), reach(v, r) AS (
                 SELECT v, v FROM verts
                 UNION
-                SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
-                UNION
-                SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.v
+                SELECT e.dst, reach.r FROM reach JOIN sym e ON e.src = reach.v
             )
             SELECT component, COUNT(*) AS size FROM (
                 SELECT v, MIN(r) AS component FROM reach GROUP BY v
@@ -1031,7 +1038,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_minhash_sql() -> str:
     """MinHash+LSH oracle, generated to mirror neardup_pairs_minhash
-    (n_hashes=16, bands=8, rows=2, threshold=0.5, seed=42) exactly."""
+    (n_hashes=16, bands=8, rows=2, threshold=0.9, seed=42) exactly."""
     n_hashes, bands = 16, 8
     rows = n_hashes // bands
     sig = _minhash_sql("toks", n_hashes)
@@ -1042,7 +1049,7 @@ def _oracle_minhash_sql() -> str:
     return f"""
         WITH base AS (
             SELECT doc_id AS doc, list_distinct({_token_hashes_sql('text')}) AS toks
-            FROM documents
+            FROM documents WHERE doc_id < 300
         ), sigs AS (
             SELECT doc, toks, {sig} AS sig FROM base
         ), bands AS (
@@ -1061,5 +1068,5 @@ def _oracle_minhash_sql() -> str:
                      6) AS jaccard
         FROM cand
         WHERE len(list_intersect(toks_a, toks_b))::DOUBLE /
-              (len(toks_a) + len(toks_b) - len(list_intersect(toks_a, toks_b)))::DOUBLE >= 0.5
+              (len(toks_a) + len(toks_b) - len(list_intersect(toks_a, toks_b)))::DOUBLE >= 0.9
     """

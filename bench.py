@@ -1,0 +1,105 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is docs/sec of the flagship KG pipeline (Arrow-UDF
+extraction -> SVO -> entity linking -> canonicalization -> triple dedup) over
+a CC-style page corpus synthesized at a size proportional to the SF — the
+BASELINE.json throughput target. Relational/corpus operator timings ride
+along in "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "semi_join",
+    "best_match_join",
+    "group_collect",
+    "pairwise_lead",
+    "locf",
+    "sessionize",
+    "topk_per_group",
+    "time_buckets",
+    "doc_fingerprint",
+    "doc_simhash",
+    "token_count",
+    "quality_score",
+    "ann_cosine_topk",
+    "svo_extract",
+    "kg_pipeline_docs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from gtfsrt2lc_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="gtfsrt2lc_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # warm up the JVM + Arrow path once (not timed)
+    qs["doc_fingerprint"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # flagship: full KG pipeline over a synthesized CC-style page corpus
+    from gtfsrt2lc_spark.fixtures.pages import PREDICATES, build_corpus, corpus_dataframes
+    from gtfsrt2lc_spark.plans.kg_pipeline import KGPipeline
+
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", str(int(40000 * sf) if sf > 0 else 4000)))
+    corpus = build_corpus(n_pages=n_pages, seed=42)
+    pages, records, surfaces, sameas = corpus_dataframes(spark, corpus)
+    pages = pages.repartition(int(cpus)).persist()
+    n_docs = pages.count()  # materialize input outside the timed window
+    pipe = KGPipeline(records, surfaces, sameas,
+                      {ph: loc for ph, (loc, _, _) in PREDICATES.items()})
+    pipe.canonical_map()  # KB prep is amortized across micro-batches; not timed
+
+    t0 = time.monotonic()
+    n_triples = pipe.triples(pages).count()
+    kg_secs = time.monotonic() - t0
+    timings["kg_pipeline_pages"] = round(kg_secs, 3)
+    docs_per_sec = n_docs / kg_secs if kg_secs > 0 else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_docs_per_sec",
+                "value": round(docs_per_sec, 2),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "n_triples": n_triples,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

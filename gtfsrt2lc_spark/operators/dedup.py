@@ -60,23 +60,37 @@ def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 def _with_minhash_bands(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int, bands: int, seed: int
 ) -> DataFrame:
+    """Explode token hashes -> flat per-permutation min aggregates.
+
+    The posexplode+min shape (SURVEY.md §2.9) instead of nested
+    aggregate-in-transform HOFs: identical signature values, but a small
+    Catalyst tree (deep HOF nesting costs minutes of Janino codegen) and a
+    map-side-combinable aggregation at scale."""
     rows = n_hashes // bands
     perms = minhash_perms(n_hashes, seed=seed)
-    hashed = token_hashes(F.col(text_col))
-    out = df.select(
+    ex = df.select(
         F.col(id_col).alias("doc"),
-        F.array_distinct(hashed).alias("toks"),
-    ).withColumn("sig", minhash_sig(F.col("toks"), perms))
+        F.explode(F.array_distinct(token_hashes(F.col(text_col)))).alias("h"),
+    )
+    sigs = ex.groupBy("doc").agg(
+        F.collect_set("h").alias("toks"),
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(2_147_483_647)).alias(f"s{i}")
+            for i, (a, b) in enumerate(perms)
+        ],
+    )
     bandcols = [
         F.struct(
             F.lit(bi).alias("band_id"),
             F.concat_ws(
-                "_", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)]
+                "_", *[F.col(f"s{bi * rows + r}").cast("string") for r in range(rows)]
             ).alias("band_val"),
         )
         for bi in range(bands)
     ]
-    return out.withColumn("band", F.explode(F.array(*bandcols))).select(
+    return sigs.select(
+        "doc", "toks", F.explode(F.array(*bandcols)).alias("band")
+    ).select(
         "doc", "toks", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val")
     )
 

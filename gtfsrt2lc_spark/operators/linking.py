@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from gtfsrt2lc_spark.functions.hashing import minhash_perms, minhash_sig, poly_hash
+from gtfsrt2lc_spark.functions.hashing import minhash_perms
 
 
 def resolve_dictionary(surfaces: DataFrame) -> DataFrame:
@@ -50,12 +50,25 @@ def link_exact(
     )
 
 
-def _shingles(col, n: int = 3):
-    padded = F.lower(col)
+def _shingle_hashes(col, n: int = 3):
+    """Closed-form 31-polynomial hash of each character n-gram.
+
+    No nested aggregate per element (a fixed-width n-gram hash is
+    sum(ascii(c_j) * 31^(n-1-j)) mod p) — keeps the Catalyst expression tree
+    small; deep HOF nesting caused multi-minute Janino codegen."""
+    s = F.lower(col)
+    weights = [31 ** (n - 1 - j) for j in range(n)]
+
+    def gram_hash(i):
+        h = F.lit(0).cast("long")
+        for j, w in enumerate(weights):
+            h = h + F.ascii(s.substr(i + j, F.lit(1))).cast("long") * F.lit(w)
+        return h % F.lit(2_147_483_647)
+
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1))),
-            lambda i: padded.substr(i, F.lit(n)),
+            F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
+            gram_hash,
         )
     )
 
@@ -81,22 +94,32 @@ def link_fuzzy(
     perms = minhash_perms(n_hashes, seed=seed)
 
     def prep(df: DataFrame, side: str) -> DataFrame:
-        sh = _shingles(F.col("surface"))
-        hashed = F.transform(sh, poly_hash)
-        out = df.select(
+        # explode shingle hashes -> flat min-aggregates per permutation
+        # (SURVEY.md §2.9: posexplode + min per band, no UDAF, no deep HOFs)
+        ex = df.select(
             F.col("surface").alias(f"surface_{side}"),
             *([F.col("record_id")] if side == "d" else []),
-            hashed.alias(f"sh_{side}"),
-        ).withColumn(f"sig_{side}", minhash_sig(F.col(f"sh_{side}"), perms))
+            F.explode(_shingle_hashes(F.col("surface"))).alias("h"),
+        )
+        keys = [f"surface_{side}"] + (["record_id"] if side == "d" else [])
+        sigs = ex.groupBy(*keys).agg(
+            F.collect_set("h").alias(f"sh_{side}"),
+            *[
+                F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(2_147_483_647)).alias(f"s{i}")
+                for i, (a, b) in enumerate(perms)
+            ],
+        )
         bandcols = [
             F.concat_ws(
                 "_",
                 F.lit(bi),
-                *[F.col(f"sig_{side}")[bi * rows + r].cast("string") for r in range(rows)],
+                *[F.col(f"s{bi * rows + r}").cast("string") for r in range(rows)],
             )
             for bi in range(bands)
         ]
-        return out.withColumn("band", F.explode(F.array(*bandcols))).drop(f"sig_{side}")
+        return sigs.select(
+            *keys, f"sh_{side}", F.explode(F.array(*bandcols)).alias("band")
+        )
 
     q = prep(surfaces_q.select("surface").distinct(), "q")
     d = prep(resolve_dictionary(dictionary), "d")

@@ -61,6 +61,7 @@ class KGPipeline:
         self.fuzzy = fuzzy
         self.fuzzy_threshold = fuzzy_threshold
         self._canonical_map: DataFrame | None = None
+        self._persisted: list[DataFrame] = []
         phrases = sorted(predicates, key=len, reverse=True)
         alt = "|".join(re.escape(p) for p in phrases)
         self._svo_pattern = rf"^({_MENTION}) ({alt}) ({_MENTION})\.$"
@@ -98,31 +99,64 @@ class KGPipeline:
         return svo
 
     # ---- stage 4 ---------------------------------------------------------
-    def _link_surfaces(self, mentions: DataFrame, col: str) -> DataFrame:
-        """Attach <col>_record via exact broadcast join, then LSH fuzzy
-        fallback for surfaces the dictionary misses."""
-        out = link_exact(
-            mentions.withColumnRenamed(col, "surface"), self.surfaces
-        ).withColumnRenamed("record_id", f"{col}_record").drop("prior")
+    def surface_mapping(self, mentions: DataFrame) -> DataFrame:
+        """Resolve surface -> record_id ONCE over the distinct surfaces.
+
+        The mention stream is huge; the distinct surface set is small
+        (bounded by the KB + noise). Resolving the small set first and
+        broadcast-joining it back means the expensive extraction/mention
+        subplan is consumed exactly once, and the fuzzy LSH pass runs only
+        over *unmatched distinct surfaces* — the same shape as the
+        reference's grep pruning by updated-trip list (lib/GtfsIndex.js:
+        107-118): do the heavy work only for the keys that need it."""
+        surfs = mentions.select(
+            F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
+        ).distinct()
+        mapping = link_exact(surfs, self.surfaces).drop("prior")
         if self.fuzzy:
-            unmatched = out.where(F.col(f"{col}_record").isNull()).select("surface").distinct()
+            unmatched = mapping.where(F.col("record_id").isNull()).select("surface")
             fz = link_fuzzy(
                 unmatched, self.surfaces, jaccard_threshold=self.fuzzy_threshold
             ).select("surface", F.col("record_id").alias("_fz_record"))
-            out = out.join(F.broadcast(fz), "surface", "left").withColumn(
-                f"{col}_record", F.coalesce(F.col(f"{col}_record"), F.col("_fz_record"))
-            ).drop("_fz_record")
-        return out.withColumnRenamed("surface", col)
+            mapping = (
+                mapping.join(fz, "surface", "left")
+                .withColumn("record_id", F.coalesce(F.col("record_id"), F.col("_fz_record")))
+                .drop("_fz_record")
+            )
+        return mapping.where(F.col("record_id").isNotNull())
 
     def linked(self, mentions: DataFrame) -> DataFrame:
         """Mentions with subject/object KB record ids; unlinkable rows drop
         (inner semantics, like the reference's silent skip on missing
-        static data, lib/Gtfsrt2LC.js:98-111)."""
-        m = self._link_surfaces(mentions, "subj_surface")
-        m = self._link_surfaces(m, "obj_surface")
-        return m.where(
-            F.col("subj_surface_record").isNotNull() & F.col("obj_surface_record").isNotNull()
+        static data, lib/Gtfsrt2LC.js:98-111).
+
+        The mention stream is persisted while the surface mapping is derived
+        from it, then consumed once more for the final broadcast joins."""
+        mentions = mentions.persist()
+        self._persisted.append(mentions)
+        mapping = F.broadcast(self.surface_mapping(mentions))
+        m = mentions.join(
+            mapping.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
+                "record_id", "subj_surface_record"
+            ),
+            "subj_surface",
         )
+        m = m.join(
+            mapping.withColumnRenamed("surface", "obj_surface").withColumnRenamed(
+                "record_id", "obj_surface_record"
+            ),
+            "obj_surface",
+        )
+        return m
+
+    def cleanup(self) -> None:
+        """Unpersist intermediate caches created by linked()."""
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        self._persisted.clear()
 
     # ---- stage 5+6 -------------------------------------------------------
     def canonical_map(self) -> DataFrame:

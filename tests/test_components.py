@@ -32,15 +32,32 @@ def test_random_graph_matches_union_find(spark):
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {r["vertex"]: r["component"] for r in connected_components(df).collect()}
+    # distributed star path (small_graph_edges=0 disables the local shortcut)
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
     assert got == _expected_components(edges)
+
+
+def test_local_fast_path_matches_distributed(spark):
+    rng = random.Random(5)
+    edges = [(f"x{rng.randrange(50)}", f"x{rng.randrange(50)}") for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    local = {tuple(r) for r in connected_components(df).collect()}
+    dist = {tuple(r) for r in connected_components(df, small_graph_edges=0).collect()}
+    assert local == dist
 
 
 def test_long_chain(spark):
     n = 64
     edges = [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(n - 1)]
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {r["vertex"]: r["component"] for r in connected_components(df).collect()}
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
     assert set(got.values()) == {"v00"}
     assert len(got) == n
 
@@ -50,8 +67,8 @@ def test_partitioning_invariance(spark):
     edges = [(f"a{rng.randrange(40)}", f"a{rng.randrange(40)}") for _ in range(60)]
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, "src string, dst string")
-    one = {tuple(r) for r in connected_components(df.coalesce(1)).collect()}
-    many = {tuple(r) for r in connected_components(df.repartition(13)).collect()}
+    one = {tuple(r) for r in connected_components(df.coalesce(1), small_graph_edges=0).collect()}
+    many = {tuple(r) for r in connected_components(df.repartition(13), small_graph_edges=0).collect()}
     assert one == many
 
 

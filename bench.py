@@ -82,6 +82,7 @@ def main() -> None:
     t0 = time.monotonic()
     n_triples = pipe.triples(pages).count()
     kg_secs = time.monotonic() - t0
+    pipe.cleanup()
     timings["kg_pipeline_pages"] = round(kg_secs, 3)
     docs_per_sec = n_docs / kg_secs if kg_secs > 0 else 0.0
 

@@ -61,7 +61,7 @@ class KGPipeline:
         self.fuzzy = fuzzy
         self.fuzzy_threshold = fuzzy_threshold
         self._canonical_map: DataFrame | None = None
-        self._persisted: list[DataFrame] = []
+        self._scratch_dirs: list[str] = []
         phrases = sorted(predicates, key=len, reverse=True)
         alt = "|".join(re.escape(p) for p in phrases)
         self._svo_pattern = rf"^({_MENTION}) ({alt}) ({_MENTION})\.$"
@@ -130,11 +130,31 @@ class KGPipeline:
         (inner semantics, like the reference's silent skip on missing
         static data, lib/Gtfsrt2LC.js:98-111).
 
-        The mention stream is persisted while the surface mapping is derived
-        from it, then consumed once more for the final broadcast joins."""
-        mentions = mentions.persist()
-        self._persisted.append(mentions)
-        mapping = F.broadcast(self.surface_mapping(mentions))
+        The surface mapping is small by construction (distinct surfaces, not
+        mentions), so it is COLLECTED to the driver and re-broadcast as a
+        LocalRelation — the reference's in-heap MemStore posture
+        (lib/GtfsIndex.js:99-105). This deliberately trades one extra pass
+        over the mention stream for zero broadcast-subplan recomputation:
+        measured at local[32], a lazily-persisted mentions cache racing the
+        broadcast-exchange threads cost 4x wall clock (block-lock + unroll
+        contention), while the two-pass local-mapping plan scales cleanly.
+        The mention stream itself is STAGED TO PARQUET once and re-read by
+        every consumer (mapping derivation consumes it up to three times:
+        distinct surfaces, exact pass, fuzzy-unmatched branch). A parquet
+        stage checkpoint is the contention-free materialization: in-memory
+        persist suffers block-lock/unroll contention when broadcast-exchange
+        threads race the main job (measured 4-25x CPU inflation at
+        local[32]), while file scans are lock-free and exactly what a
+        multi-executor cluster would do. See BENCH/BASELINE.md."""
+        spark = mentions.sparkSession
+        mentions = self._stage(mentions)
+        rows = self.surface_mapping(mentions).collect()
+        mapping = F.broadcast(
+            spark.createDataFrame(
+                [(r["surface"], r["record_id"]) for r in rows],
+                "surface string, record_id string",
+            )
+        )
         m = mentions.join(
             mapping.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
                 "record_id", "subj_surface_record"
@@ -149,14 +169,27 @@ class KGPipeline:
         )
         return m
 
+    def _stage(self, df: DataFrame) -> DataFrame:
+        """Materialize an intermediate to a scratch parquet dir and re-read.
+
+        The engine's stage-checkpoint primitive: truncates the plan, makes
+        the intermediate consumable by any number of downstream subplans
+        (including broadcast-exchange threads) without block-manager
+        contention or recomputation."""
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="kgstage_")
+        self._scratch_dirs.append(path)
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
     def cleanup(self) -> None:
-        """Unpersist intermediate caches created by linked()."""
-        for df in self._persisted:
-            try:
-                df.unpersist()
-            except Exception:  # noqa: BLE001
-                pass
-        self._persisted.clear()
+        """Remove scratch stage dirs created by linked()."""
+        import shutil
+
+        for d in self._scratch_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        self._scratch_dirs.clear()
 
     # ---- stage 5+6 -------------------------------------------------------
     def canonical_map(self) -> DataFrame:
@@ -185,7 +218,12 @@ class KGPipeline:
             "canonical_record",
             entity_iri(F.col("canonical_name")).alias("iri"),
         )
-        self._canonical_map = out.localCheckpoint()
+        # KB-sized by definition -> collect once, serve as a LocalRelation
+        # (cheap to broadcast repeatedly; no distributed subplan re-runs)
+        rows = [(r["record_id"], r["canonical_record"], r["iri"]) for r in out.collect()]
+        self._canonical_map = self.records.sparkSession.createDataFrame(
+            rows, "record_id string, canonical_record string, iri string"
+        )
         return self._canonical_map
 
     # ---- stage 7 ---------------------------------------------------------

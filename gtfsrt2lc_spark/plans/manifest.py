@@ -110,6 +110,8 @@ def run_incremental(
         F.sum("n_docs").alias("d"), F.sum("n_triples").alias("t")
     ).collect()[0]
     part_stats.unpersist()
+    if hasattr(pipeline, "cleanup"):
+        pipeline.cleanup()  # drop stage-checkpoint scratch dirs
     return {
         "parts": len(todo_parts),
         "n_docs": totals["d"] or 0,

@@ -41,7 +41,7 @@ def _package_zip() -> str:
     return path
 
 
-def run_once(cores: int, n_pages: int, zip_path: str) -> dict:
+def run_once(cores: int, corpus: str, zip_path: str) -> dict:
     out = tempfile.mkdtemp(prefix=f"kg_scale_{cores}_")
     cmd = [
         _spark_submit(),
@@ -50,11 +50,12 @@ def run_once(cores: int, n_pages: int, zip_path: str) -> dict:
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", f"spark.sql.shuffle.partitions={cores * 2}",
-        "--conf", "spark.driver.memory=24g",
+        "--conf", "spark.driver.memory=48g",
         "--conf", "spark.ui.enabled=false",
         os.path.join(REPO, "scripts", "submit_pipeline.py"),
-        "--n-pages", str(n_pages),
+        "--corpus", corpus,
         "--out", os.path.join(out, "kg"),
+        "--warmup",
     ]
     res = subprocess.run(cmd, capture_output=True, text=True, check=False)
     for line in reversed(res.stdout.splitlines()):
@@ -66,18 +67,28 @@ def run_once(cores: int, n_pages: int, zip_path: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-pages", type=int, default=40000)
+    ap.add_argument("--n-pages", type=int, default=1000000)
+    ap.add_argument("--corpus", default=None, help="pre-staged corpus dir; staged if absent")
     ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
+    corpus = args.corpus or os.path.join(tempfile.gettempdir(), f"kgcorpus_{args.n_pages}")
+    if not os.path.exists(os.path.join(corpus, "pages")):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "stage_corpus.py"),
+             "--n-pages", str(args.n_pages), "--out", corpus],
+            check=True,
+            env={**os.environ, "PYTHONPATH": REPO},
+        )
+
     zip_path = _package_zip()
-    results = {"n_pages": args.n_pages, "runs": []}
+    results = {"n_pages": args.n_pages, "corpus": corpus, "runs": []}
     best = {}
     for cores in (args.n, args.n * 4):
         tp = []
         for _ in range(args.repeats):
-            r = run_once(cores, args.n_pages, zip_path)
+            r = run_once(cores, corpus, zip_path)
             results["runs"].append(r)
             tp.append(r["docs_per_sec"])
         best[cores] = max(tp)

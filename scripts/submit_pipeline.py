@@ -18,31 +18,39 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-pages", type=int, default=40000)
+    ap.add_argument("--corpus", required=True, help="staged corpus dir (scripts/stage_corpus.py)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=64)
-    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--warmup", action="store_true",
+                    help="run the plan on a 1%% slice first (codegen + python workers), untimed")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sc = spark.sparkContext
     n_cores = sc.defaultParallelism
 
-    from gtfsrt2lc_spark.fixtures.pages import PREDICATES, build_corpus, corpus_dataframes
+    import os
+
+    from gtfsrt2lc_spark.fixtures.pages import PREDICATES
     from gtfsrt2lc_spark.plans.kg_pipeline import KGPipeline
     from gtfsrt2lc_spark.plans.manifest import run_incremental
 
-    corpus = build_corpus(n_pages=args.n_pages, seed=args.seed)
-    pages, records, surfaces, sameas = corpus_dataframes(spark, corpus)
-    pages = pages.repartition(max(n_cores * 2, args.buckets)).persist()
-    n_docs = pages.select("url").distinct().count()  # materialize input, untimed
+    pages = spark.read.parquet(os.path.join(args.corpus, "pages"))
+    records = spark.read.parquet(os.path.join(args.corpus, "records"))
+    surfaces = spark.read.parquet(os.path.join(args.corpus, "surfaces"))
+    sameas = spark.read.parquet(os.path.join(args.corpus, "sameas"))
+    n_docs = pages.select("url").distinct().count()  # input materialization, untimed
 
     pipe = KGPipeline(records, surfaces, sameas,
                       {ph: loc for ph, (loc, _, _) in PREDICATES.items()})
     pipe.canonical_map()  # KB prep amortized across runs, untimed
+    if args.warmup:
+        pipe.triples(pages.where(F.pmod(F.xxhash64("url"), F.lit(100)) == 0)).count()
+        pipe.cleanup()
 
     t0 = time.monotonic()
     metrics = run_incremental(spark, pages, pipe, args.out,
@@ -51,7 +59,6 @@ def main() -> None:
 
     print(json.dumps({
         "n_cores": n_cores,
-        "n_pages": args.n_pages,
         "n_docs": n_docs,
         "n_triples": metrics["n_triples"],
         "parts": metrics["parts"],

@@ -184,8 +184,13 @@ def _noise_sentence(rng: random.Random) -> str:
     return " ".join(words) + "."
 
 
-def build_corpus(n_pages: int = 300, seed: int = 42) -> Corpus:
-    """Deterministic corpus. Same (n_pages, seed) -> byte-identical output."""
+def build_corpus(
+    n_pages: int = 300, seed: int = 42, noise_range: tuple[int, int] = (1, 3)
+) -> Corpus:
+    """Deterministic corpus. Same (n_pages, seed, noise_range) ->
+    byte-identical output. ``noise_range`` controls filler sentences per page
+    (bench corpora use large values so per-page compute dominates job
+    overhead; golden-test corpora keep the default)."""
     rng = random.Random(seed)
     c = _build_kb(rng)
 
@@ -222,7 +227,7 @@ def build_corpus(n_pages: int = 300, seed: int = 42) -> Corpus:
                         entity_iri(c.canonical[obj_rid]),
                     )
                 )
-        for _ in range(rng.randint(1, 3)):
+        for _ in range(rng.randint(*noise_range)):
             sentences.insert(rng.randrange(len(sentences) + 1), _noise_sentence(rng))
 
         malformed = rng.random() < 0.10

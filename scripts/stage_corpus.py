@@ -23,6 +23,8 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--shards", type=int, default=16, help="parallel generator shards")
+    ap.add_argument("--noise", type=int, nargs=2, default=(1, 3),
+                    help="min/max filler sentences per page (bench: 25 45)")
     args = ap.parse_args()
 
     from gtfsrt2lc_spark.fixtures.pages import build_corpus, corpus_dataframes
@@ -36,7 +38,7 @@ def main() -> None:
     per = args.n_pages // args.shards
     wrote_kb = False
     for s in range(args.shards):
-        c = build_corpus(n_pages=per, seed=args.seed + s)
+        c = build_corpus(n_pages=per, seed=args.seed + s, noise_range=tuple(args.noise))
         pages, records, surfaces, sameas = corpus_dataframes(spark, c)
         # shard urls are disambiguated by seed-dependent domains already,
         # but page ids repeat across shards -> rewrite url with shard prefix

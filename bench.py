@@ -70,7 +70,7 @@ def main() -> None:
     from gtfsrt2lc_spark.fixtures.pages import PREDICATES, build_corpus, corpus_dataframes
     from gtfsrt2lc_spark.plans.kg_pipeline import KGPipeline
 
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", str(int(40000 * sf) if sf > 0 else 4000)))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", str(int(400000 * sf) if sf > 0 else 4000)))
     corpus = build_corpus(n_pages=n_pages, seed=42)
     pages, records, surfaces, sameas = corpus_dataframes(spark, corpus)
     pages = pages.repartition(int(cpus)).persist()

@@ -30,7 +30,7 @@ from gtfsrt2lc_spark.functions.iri import entity_iri, predicate_iri
 from gtfsrt2lc_spark.functions.text import extract_text_udf
 from gtfsrt2lc_spark.operators.components import connected_components
 from gtfsrt2lc_spark.operators.dedup import latest_by_key
-from gtfsrt2lc_spark.operators.linking import link_exact, link_fuzzy
+from gtfsrt2lc_spark.operators.linking import link_fuzzy
 
 # a "mention" is a capitalized token span; predicates are a fixed phrase lexicon
 _MENTION = r"[A-Z][\w.]*(?: [A-Z][\w.]*)*"
@@ -61,6 +61,7 @@ class KGPipeline:
         self.fuzzy = fuzzy
         self.fuzzy_threshold = fuzzy_threshold
         self._canonical_map: DataFrame | None = None
+        self._dict_local: dict[str, str] | None = None
         self._scratch_dirs: list[str] = []
         phrases = sorted(predicates, key=len, reverse=True)
         alt = "|".join(re.escape(p) for p in phrases)
@@ -99,31 +100,55 @@ class KGPipeline:
         return svo
 
     # ---- stage 4 ---------------------------------------------------------
-    def surface_mapping(self, mentions: DataFrame) -> DataFrame:
+    def _resolved_dictionary(self) -> dict[str, str]:
+        """surface -> best record_id, collected once (KB-sized by definition
+        — the reference holds exactly this as an in-heap Map,
+        lib/GtfsIndex.js:99-105)."""
+        if self._dict_local is None:
+            from gtfsrt2lc_spark.operators.linking import resolve_dictionary
+
+            self._dict_local = {
+                r["surface"]: r["record_id"]
+                for r in resolve_dictionary(self.surfaces).collect()
+            }
+        return self._dict_local
+
+    def surface_mapping_rows(self, mentions: DataFrame) -> list[tuple[str, str]]:
         """Resolve surface -> record_id ONCE over the distinct surfaces.
 
         The mention stream is huge; the distinct surface set is small
-        (bounded by the KB + noise). Resolving the small set first and
-        broadcast-joining it back means the expensive extraction/mention
-        subplan is consumed exactly once, and the fuzzy LSH pass runs only
-        over *unmatched distinct surfaces* — the same shape as the
-        reference's grep pruning by updated-trip list (lib/GtfsIndex.js:
-        107-118): do the heavy work only for the keys that need it."""
-        surfs = mentions.select(
-            F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
-        ).distinct()
-        mapping = link_exact(surfs, self.surfaces).drop("prior")
-        if self.fuzzy:
-            unmatched = mapping.where(F.col("record_id").isNull()).select("surface")
-            fz = link_fuzzy(
-                unmatched, self.surfaces, jaccard_threshold=self.fuzzy_threshold
-            ).select("surface", F.col("record_id").alias("_fz_record"))
-            mapping = (
-                mapping.join(fz, "surface", "left")
-                .withColumn("record_id", F.coalesce(F.col("record_id"), F.col("_fz_record")))
-                .drop("_fz_record")
+        (bounded by the KB + noise), so it is collected and matched against
+        the driver-side dictionary. The fuzzy MinHash-LSH pass runs only
+        when unmatched surfaces exist, over LocalRelations — the same shape
+        as the reference's grep pruning by updated-trip list
+        (lib/GtfsIndex.js:107-118): heavy work only for keys that need it.
+        Short-circuiting the all-exact case removes 2-3 Spark jobs from the
+        pipeline's serial floor."""
+        surfs = [
+            r["surface"]
+            for r in mentions.select(
+                F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
             )
-        return mapping.where(F.col("record_id").isNotNull())
+            .distinct()
+            .collect()
+        ]
+        dic = self._resolved_dictionary()
+        mapped = [(s, dic[s]) for s in surfs if s in dic]
+        unmatched = [s for s in surfs if s not in dic]
+        if self.fuzzy and unmatched:
+            spark = mentions.sparkSession
+            q = spark.createDataFrame([(s,) for s in unmatched], "surface string")
+            fz = link_fuzzy(
+                q, self.surfaces, jaccard_threshold=self.fuzzy_threshold
+            ).collect()
+            mapped.extend((r["surface"], r["record_id"]) for r in fz)
+        return mapped
+
+    def surface_mapping(self, mentions: DataFrame) -> DataFrame:
+        """DataFrame view of surface_mapping_rows (kept for API symmetry)."""
+        return mentions.sparkSession.createDataFrame(
+            self.surface_mapping_rows(mentions), "surface string, record_id string"
+        )
 
     def linked(self, mentions: DataFrame) -> DataFrame:
         """Mentions with subject/object KB record ids; unlinkable rows drop
@@ -148,11 +173,9 @@ class KGPipeline:
         multi-executor cluster would do. See BENCH/BASELINE.md."""
         spark = mentions.sparkSession
         mentions = self._stage(mentions)
-        rows = self.surface_mapping(mentions).collect()
         mapping = F.broadcast(
             spark.createDataFrame(
-                [(r["surface"], r["record_id"]) for r in rows],
-                "surface string, record_id string",
+                self.surface_mapping_rows(mentions), "surface string, record_id string"
             )
         )
         m = mentions.join(

@@ -73,10 +73,13 @@ def run_incremental(
     done = read_manifest(spark, out_dir).where(F.col("status") == "done").select("part_id")
     todo = bucketed.join(F.broadcast(done), "part_id", "left_anti")
 
+    # n_docs counts page rows (re-crawl snapshots included) — a plain
+    # map-side-combinable count; an exact distinct-url count would add a
+    # full extra shuffle to every run for metrics-only value
     part_stats = (
         todo.groupBy("part_id")
         .agg(
-            F.countDistinct("url").alias("n_docs"),
+            F.count("*").alias("n_docs"),
             F.bit_xor(F.xxhash64("url", "warc_ts")).alias("input_fingerprint"),
         )
     ).cache()

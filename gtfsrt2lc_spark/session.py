@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # binary/html columns are KB-sized: default 10k-row Arrow batches
+        # balloon to 100s of MB per python worker and collapse throughput at
+        # high thread counts (measured 4x at local[32]); cap the batch size
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         # dictionaries broadcast, page facts never do (SURVEY.md §4)

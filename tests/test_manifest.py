@@ -58,6 +58,7 @@ def test_partial_failure_resume(spark, corpus_dfs, pipeline, corpus, tmp_path_fa
     mf = read_manifest(spark, out)
     assert mf.count() == 8
     assert mf.where(F.col("status") == "done").count() == 8
-    # lineage: per-partition metrics recorded
+    # lineage: per-partition metrics recorded (n_docs counts page rows,
+    # re-crawl snapshots included)
     row = mf.agg(F.sum("n_docs").alias("d")).collect()[0]
-    assert row["d"] == pages.select("url").distinct().count()
+    assert row["d"] == pages.count()

@@ -57,14 +57,14 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # warm up the JVM + Arrow path once (not timed)
-    qs["doc_fingerprint"](spark, sf_dir).count()
-
+    # two passes: the first warms codegen, page cache and python workers;
+    # the second is the recorded steady-state timing
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+    for _pass in range(2):
+        for name in BENCH_QUERIES:
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).count()
+            timings[name] = round(time.monotonic() - t0, 3)
 
     # flagship: full KG pipeline over a synthesized CC-style page corpus
     from gtfsrt2lc_spark.fixtures.pages import PREDICATES, build_corpus, corpus_dataframes

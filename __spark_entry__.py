@@ -514,6 +514,26 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(e, q, dim=64, k=5, n_bits=6, n_tables=4)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) approximate top-5: sample-trained coarse quantizer,
+    cell-partitioned corpus, n_probe nearest cells per query (scale path; no
+    SQL oracle — approximate)."""
+    from gtfsrt2lc_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3)
+    return ivf_topk(e, q, dim=64, k=5, n_cells=8, n_probe=4, sample_size=512)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact verify path; the LSH
+    candidate path is tested for subset/recall in tests/test_dedup.py)."""
+    from gtfsrt2lc_spark.operators.dedup import neardup_pairs_embedding
+
+    e = _t(spark, sf_dir, "embeddings")
+    return neardup_pairs_embedding(e, cos_threshold=0.35, method="exact")
+
+
 _SVO_PATTERN = r"(\w+) (join|merge|scan|sort) (\w+)"
 
 
@@ -643,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_neardup": q_embedding_neardup,
         "svo_extract": q_svo_extract,
         "kg_pipeline_docs": q_kg_pipeline_docs,
         "connected_components": q_connected_components,
@@ -984,6 +1006,25 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY cos DESC, vec_id) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            WITH scored AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       ROUND(
+                         list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(range(1, 65),
+                             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+                           (acc, x) -> acc + x)
+                         / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                              list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)),
+                              (acc, x) -> acc + x))
+                          * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                              list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+                              (acc, x) -> acc + x))), 6) AS cos
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
         """,
         "svo_extract": """
             WITH m AS (

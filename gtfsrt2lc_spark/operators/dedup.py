@@ -1,10 +1,12 @@
 """Deduplication operators for web-scale corpora.
 
-Four families, each a ``queries()`` entry with a DuckDB oracle:
+Five families, each a ``queries()`` entry with a DuckDB oracle:
   * exact            — hash-groupBy on content (or latest-wins by key)
   * MinHash + LSH    — shingle -> minhash -> band -> bucket join -> verify
   * SimHash          — 32-bit fingerprint, blocked by byte, hamming filter
   * n-gram Jaccard   — exact token-set similarity on candidate pairs
+  * embedding cosine — near-dup pairs over an array<float> column (exact
+    verify; LSH-bucketed candidate generation as the scale path)
 
 Reference analog: the history-store differential dedup
 (`lib/Gtfsrt2LC.js:667-751`) is exact dedup on a composite key; the rest are
@@ -169,6 +171,63 @@ def neardup_pairs_simhash(
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
+    )
+
+
+def neardup_pairs_embedding(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cos_threshold: float = 0.9,
+    method: str = "lsh",
+    dim: int | None = None,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, cos) for embedding near-duplicate pairs, id_a < id_b.
+
+    ``method='exact'``: all-pairs self-join + sequential-fold cosine — the
+    verification/oracle path, O(n^2), for small or pre-blocked inputs only.
+    ``method='lsh'``: random-hyperplane bucket candidates (same bucket in any
+    of n_tables tables, reusing the ANN bucketing) then exact-cosine verify —
+    the 100 TB path: the only shuffle is the (table, bucket) equi-join, AQE
+    splits hot buckets, and no pair outside a shared bucket is ever scored.
+    Both paths score candidates with the same fold, so LSH output is a
+    recall-bounded subset of exact output with identical cos values.
+    """
+    from gtfsrt2lc_spark.operators.similarity import _hyperplanes, _bucket_key, cosine
+
+    if method == "exact":
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        if dim is None:
+            raise ValueError("method='lsh' requires dim")
+        tables = _hyperplanes(dim, n_bits, n_tables, seed)
+        buckets = F.array(
+            *[
+                F.struct(F.lit(t).alias("table_id"), _bucket_key(F.col(vec_col), tables[t]).alias("bucket"))
+                for t in range(len(tables))
+            ]
+        )
+        hashed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(buckets).alias("b")).select(
+            "id", "v", F.col("b.table_id").alias("table_id"), F.col("b.bucket").alias("bucket")
+        )
+        left = hashed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "table_id", "bucket")
+        right = hashed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "table_id", "bucket")
+        cand = (
+            left.join(right, ["table_id", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .where(F.col("cos") >= cos_threshold)
+        .select("id_a", "id_b", "cos")
     )
 
 

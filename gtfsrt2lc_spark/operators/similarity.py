@@ -4,9 +4,15 @@ Baseline: brute-force cosine top-k — the *scalable* baseline: queries are
 broadcast, the corpus scan is embarrassingly partition-parallel, and top-k
 reduces map-side via window row_number (no global sort of scores).
 
-Scale path: random-hyperplane LSH bucketing — candidates share a signature
-bucket in >=1 of t tables; exact cosine re-ranks candidates only. All math is
-JVM-side higher-order functions (zip_with/aggregate); no UDF.
+Scale paths:
+  * random-hyperplane LSH bucketing — candidates share a signature bucket in
+    >=1 of t tables; exact cosine re-ranks candidates only.
+  * IVF (inverted-file) — a deterministic sample-trained coarse quantizer
+    partitions the corpus into cells; queries probe only the n_probe nearest
+    cells. The cell assignment is the partitioning key, so at 100 TB the
+    search is an equi-join on cell_id instead of a full scan.
+All scoring math is JVM-side higher-order functions (zip_with/aggregate);
+no UDF anywhere.
 """
 
 from __future__ import annotations
@@ -137,4 +143,129 @@ def lsh_topk(
         .select(
             F.col("q_id").alias("query_id"), F.col("c_id").alias("vec_id"), "cos", "rank"
         )
+    )
+
+
+def _train_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    sample_size: int,
+    iters: int,
+    seed: int,
+) -> list[list[float]]:
+    """Deterministic k-means coarse quantizer from a seeded, id-ordered sample.
+
+    IVF recipe: train on a driver-side sample (sample_size rows ~= a few MB,
+    independent of corpus size), broadcast the centroid table. Determinism:
+    the sample is `orderBy(id).limit(n)` (stable regardless of partitioning)
+    and init is a seeded shuffle of sample indices — no wall clock, no
+    engine-native rand(). Returns L2-normalized centroids so cell assignment
+    is argmax of a plain dot product.
+    """
+    import math
+
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(sample_size)
+        .collect()
+    )
+    vecs = [[float(x) for x in r["v"]] for r in rows]
+    if len(vecs) < n_cells:
+        raise ValueError(f"sample ({len(vecs)}) smaller than n_cells ({n_cells})")
+
+    def _norm(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    rng = random.Random(seed)
+    idx = list(range(len(vecs)))
+    rng.shuffle(idx)
+    cents = [_norm(vecs[i]) for i in idx[:n_cells]]
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(n_cells)]
+        counts = [0] * n_cells
+        for v in vecs:
+            best, best_dot = 0, -math.inf
+            for c_i, c in enumerate(cents):
+                d = sum(a * b for a, b in zip(v, c))
+                if d > best_dot:
+                    best, best_dot = c_i, d
+            counts[best] += 1
+            s = sums[best]
+            for j, x in enumerate(v):
+                s[j] += x
+        cents = [
+            _norm(sums[i]) if counts[i] else cents[i] for i in range(n_cells)
+        ]
+    return cents
+
+
+def _cell_scores(vec: Column, cents: list[list[float]]) -> Column:
+    """array<struct<dot,cell_id>> of centroid dot products (struct ordered so
+    array_max / sort compare by dot first, cell_id as deterministic tiebreak)."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(dot(vec, F.array(*[F.lit(x) for x in c])), 9).alias("dot"),
+                F.lit(i).alias("cell_id"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index: corpus rows live in their
+    nearest centroid's cell; each query scans only its n_probe nearest cells.
+
+    (query_id, vec_id, cos, rank) — same shape/scoring as brute_force_topk;
+    with n_probe == n_cells the output is exactly the brute-force result.
+    At scale: cell assignment is one narrow pass (centroids are literals in
+    the plan, ~n_cells*dim doubles), the probe is an equi-join on cell_id —
+    a keyed shuffle of 1/(n_cells/n_probe) of the corpus — and the re-rank
+    runs only inside probed cells. Hot cells split via AQE skew-join.
+    """
+    cents = _train_centroids(
+        corpus, dim, n_cells, id_col, vec_col, sample_size, kmeans_iters, seed
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.array_max(_cell_scores(F.col(vec_col), cents))["cell_id"].alias("cell_id"),
+    )
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(_cell_scores(F.col(vec_col), cents))), 1, n_probe),
+        lambda s: s["cell_id"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probes).alias("cell_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
     )

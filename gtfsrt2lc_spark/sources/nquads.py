@@ -101,3 +101,93 @@ def read_nquads(spark, path: str) -> DataFrame:
         F.nullif(F.regexp_extract("value", p, 7), F.lit("")).alias("obj_datatype"),
         F.nullif(F.regexp_extract("value", p, 8), F.lit("")).alias("graph"),
     ).where(F.col("pred") != "")
+
+
+# ---------------------------------------------------------------------------
+# Turtle (ref: `lib/Gtfsrt2LC.js:254-261` pipes quads through n3 StreamWriter
+# with prefixes xsd/lc/gtfs; here prefix compression is a JVM-side expression
+# and the @prefix block is a sidecar header, like the JSON-LD context —
+# distributed text parts cannot prepend)
+# ---------------------------------------------------------------------------
+
+TURTLE_PREFIXES = {
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "lc": "http://semweb.mmlab.be/ns/linkedconnections#",
+    "gtfs": "http://vocab.gtfs.org/terms#",
+}
+
+# conservative PN_LOCAL subset: compress only when the remainder is plainly
+# safe; anything else falls back to the always-valid <full-IRI> form
+_PN_LOCAL_SAFE = r"^[A-Za-z0-9][A-Za-z0-9_.\-]*$"
+
+
+def _prefixed(col: Column, prefixes: dict[str, str]) -> Column:
+    """Compress an IRI to pfx:local when a namespace matches (longest first),
+    else render <iri>; bnodes pass through."""
+    out = term(col)
+    for pfx, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
+        local = F.substring(col, len(ns) + 1, 2_000_000)
+        out = F.when(
+            col.startswith(ns) & local.rlike(_PN_LOCAL_SAFE),
+            F.concat(F.lit(pfx + ":"), local),
+        ).otherwise(out)
+    return out
+
+
+def to_turtle_lines(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    obj_datatype: str | None = None,
+    prefixes: dict[str, str] | None = None,
+) -> DataFrame:
+    """One Turtle statement per row with prefixed-name compression.
+
+    Statement-per-line Turtle (no subject grouping): grouping by subject
+    would force a shuffle purely for output cosmetics; per-statement lines
+    keep the write a narrow map over the triples and remain valid Turtle.
+    """
+    pfx = TURTLE_PREFIXES if prefixes is None else prefixes
+    is_iri = F.col(obj).startswith("http://") | F.col(obj).startswith("https://")
+    is_bnode = F.col(obj).startswith("_:")
+    lit = F.concat(F.lit('"'), _escape_literal(F.col(obj)), F.lit('"'))
+    if obj_datatype:
+        lit = F.when(
+            F.col(obj_datatype).isNotNull(),
+            F.concat(lit, F.lit("^^"), _prefixed(F.col(obj_datatype), pfx)),
+        ).otherwise(lit)
+    obj_term = (
+        F.when(is_iri, _prefixed(F.col(obj), pfx))
+        .when(is_bnode, F.col(obj))
+        .otherwise(lit)
+    )
+    return triples.select(
+        F.concat(
+            _prefixed(F.col(subj), pfx),
+            F.lit(" "),
+            _prefixed(F.col(pred), pfx),
+            F.lit(" "),
+            obj_term,
+            F.lit(" ."),
+        ).alias("line")
+    )
+
+
+def write_turtle(
+    triples: DataFrame,
+    path: str,
+    obj_datatype: str | None = None,
+    prefixes: dict[str, str] | None = None,
+) -> None:
+    """Distributed Turtle write: statement parts + `prefixes.ttl` sidecar
+    holding the @prefix block (consumers concatenate sidecar + parts)."""
+    import os
+
+    pfx = TURTLE_PREFIXES if prefixes is None else prefixes
+    to_turtle_lines(triples, obj_datatype=obj_datatype, prefixes=pfx).write.mode(
+        "overwrite"
+    ).text(path)
+    with open(os.path.join(path, "prefixes.ttl"), "w") as f:
+        for p, ns in sorted(pfx.items()):
+            f.write(f"@prefix {p}: <{ns}> .\n")

@@ -72,3 +72,31 @@ def test_ngram_jaccard(spark, docs):
     assert got[(1, 2)] == 1.0
     assert 0.4 < got[(1, 3)] < 1.0  # bigrams penalize the swap more than unigrams
     assert got[(1, 4)] == 0.0
+
+
+def test_embedding_neardup_exact_vs_lsh(spark):
+    """LSH path = recall-bounded subset of exact path with identical scores;
+    on clustered vectors at a high threshold it recovers every pair."""
+    import random as _random
+
+    from gtfsrt2lc_spark.operators.dedup import neardup_pairs_embedding
+
+    rng = _random.Random(11)
+    dim = 16
+    rows = []
+    vid = 0
+    for _c in range(6):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        for _m in range(3):  # 3 jittered copies per cluster -> 3 pairs each
+            rows.append((vid, [x + rng.gauss(0, 0.01) for x in base]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in neardup_pairs_embedding(df, cos_threshold=0.99, method="exact").collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cos"]
+           for r in neardup_pairs_embedding(df, cos_threshold=0.99, method="lsh",
+                                            dim=dim, n_bits=6, n_tables=8).collect()}
+    assert len(exact) == 18  # 6 clusters x C(3,2)
+    assert lsh == exact  # near-identical vectors share every bucket
+    assert all(c > 0.99 for c in exact.values())

@@ -250,3 +250,19 @@ def test_schedule_relationship_iris(spark):
     got = [r["i"] for r in df.select(schedule_relationship_iri(F.col("c")).alias("i")).collect()]
     assert got == ["gtfs:Regular", "gtfs:NotAvailable", "gtfs:MustPhone",
                    "gtfs:MustCoordinateWithDriver", "gtfs:Regular"]
+
+
+def test_turtle_output(spark, pipeline):
+    """Turtle format with the reference's prefix set (ref format dispatch,
+    lib/Gtfsrt2LC.js:254-261: StreamWriter with xsd/lc/gtfs prefixes)."""
+    from gtfsrt2lc_spark.sources.gtfs_serializers import connections_to_quads
+    from gtfsrt2lc_spark.sources.nquads import to_turtle_lines
+
+    updates = decode_feed_df(G.spark_feed(spark, G.gap_feed()))
+    conns = pipeline.connections(updates)
+    quads = connections_to_quads(conns, DEFAULT_URIS)
+    lines = [r["line"] for r in to_turtle_lines(quads, obj_datatype="obj_datatype").collect()]
+    assert len(lines) == 12 * sum(G.GOLDEN_GAP_COUNTS.values())
+    assert any(" lc:departureStop " in l for l in lines)
+    assert any('^^xsd:dateTime .' in l for l in lines)
+    assert any(" gtfs:pickupType gtfs:Regular ." in l for l in lines)

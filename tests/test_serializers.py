@@ -51,3 +51,35 @@ def test_jsonld_nodes(spark, tmp_path):
         "http://ex.org/e/B",
         "http://ex.org/e/C",
     }
+
+
+def test_turtle_lines_prefix_compression(spark):
+    from gtfsrt2lc_spark.sources.nquads import to_turtle_lines
+
+    rows = [
+        ("http://vocab.gtfs.org/terms#trip", "http://semweb.mmlab.be/ns/linkedconnections#departureStop",
+         "http://vocab.gtfs.org/terms#Regular", None),
+        ("http://ex.org/e/A", "http://semweb.mmlab.be/ns/linkedconnections#departureTime",
+         "2019-06-04T09:32:00.000Z", "http://www.w3.org/2001/XMLSchema#dateTime"),
+        ("http://ex.org/e/with space", "http://ex.org/o#p", 'say "hi"', None),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, dt string")
+    lines = sorted(r["line"] for r in to_turtle_lines(df, obj_datatype="dt").collect())
+    assert "gtfs:trip lc:departureStop gtfs:Regular ." in lines
+    assert '"2019-06-04T09:32:00.000Z"^^xsd:dateTime .' in lines[0] or any(
+        'xsd:dateTime' in l for l in lines)
+    # non-compressible IRI falls back to <...>; literal stays escaped
+    assert any(l.startswith("<http://ex.org/e/with space>") for l in lines)
+    assert any('"say \\"hi\\""' in l for l in lines)
+
+
+def test_turtle_write_sidecar(spark, tmp_path):
+    from gtfsrt2lc_spark.sources.nquads import write_turtle
+
+    path = str(tmp_path / "ttl")
+    write_turtle(_df(spark).drop("graph"), path)
+    with open(os.path.join(path, "prefixes.ttl")) as f:
+        header = f.read()
+    assert "@prefix gtfs: <http://vocab.gtfs.org/terms#> ." in header
+    assert "@prefix lc: <http://semweb.mmlab.be/ns/linkedconnections#> ." in header
+    assert "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> ." in header

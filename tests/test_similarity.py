@@ -62,3 +62,44 @@ def test_lsh_is_subset_quality(emb):
               lsh_topk(emb, q, dim=DIM, k=1, n_bits=4, n_tables=8).collect()}
     for qid, c in approx.items():
         assert c <= exact[qid] + 1e-9
+
+
+def test_ivf_full_probe_equals_brute_force(emb):
+    """n_probe == n_cells degrades IVF to exact search — outputs must match."""
+    from gtfsrt2lc_spark.operators.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["rank"]): (r["vec_id"], r["cos"])
+             for r in brute_force_topk(emb, q, k=3).collect()}
+    full = {(r["query_id"], r["rank"]): (r["vec_id"], r["cos"])
+            for r in ivf_topk(emb, q, dim=DIM, k=3, n_cells=4, n_probe=4,
+                              sample_size=101, kmeans_iters=5).collect()}
+    assert full == exact
+
+
+def test_ivf_probe_subset_recall(emb):
+    """Partial probing still finds the planted near-duplicate (its cell is
+    always the query's own top probe) and never invents better scores."""
+    from gtfsrt2lc_spark.operators.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") == 0)
+    rows = ivf_topk(emb, q, dim=DIM, k=3, n_cells=8, n_probe=2,
+                    sample_size=101, kmeans_iters=5).orderBy("rank").collect()
+    assert rows and rows[0]["vec_id"] == 100 and rows[0]["cos"] > 0.99
+    exact_top = brute_force_topk(emb, q, k=1).collect()[0]["cos"]
+    assert rows[0]["cos"] <= exact_top + 1e-9
+
+
+def test_ivf_deterministic(emb):
+    from gtfsrt2lc_spark.operators.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 3)
+
+    def run():
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["cos"])
+            for r in ivf_topk(emb, q, dim=DIM, k=3, n_cells=8, n_probe=3,
+                              sample_size=101, kmeans_iters=5).collect()
+        )
+
+    assert run() == run()

@@ -65,3 +65,51 @@ def run_to_memory(stream_agg: DataFrame, name: str, output_mode: str = "complete
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def differential_stream(
+    stream: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """T3/J6 faithful analog via ``applyInPandasWithState``: per natural key,
+    emit a row only when its value signature differs from the last *emitted*
+    one — unchanged records are suppressed, changed ones re-emitted.
+
+    This is exactly the reference history store's differential semantics
+    (`lib/Gtfsrt2LC.js:698-750`: compare stored {departureDelay, arrivalDelay,
+    type} per key, put+emit on change, suppress on equality) — which
+    ``dropDuplicates`` cannot express (a key that changes back to an earlier
+    value must emit again). State is one signature string per key; groups are
+    Arrow batches, the compare is a vectorized shift, no per-row Python.
+    """
+    import pandas as pd  # noqa: F401 (typing of the iterator)
+
+    by_name = {f.name: f for f in stream.schema.fields}
+    out_fields = [by_name[c] for c in (*keys, *value_cols, ts_col)]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def emit_changes(key, pdf_iter, state):
+        last = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            sig = pdf[value_cols].astype(str).fillna("\0null").agg("|".join, axis=1)
+            prev = sig.shift(1, fill_value=last if last is not None else "\0\0init")
+            out = pdf.loc[(sig != prev).to_numpy(), out_cols]
+            if len(sig):
+                last = sig.iloc[-1]
+            if len(out):
+                yield out
+        state.update((last,))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        emit_changes,
+        outputStructType=out_schema,
+        stateStructType="last_sig string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

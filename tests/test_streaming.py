@@ -58,3 +58,88 @@ def test_streaming_dedup(spark, events_dir, tmp_path):
     run_to_memory(dd.groupBy().count(), "dedup_count", output_mode="complete")
     n = spark.sql("SELECT * FROM dedup_count").collect()[0]["count"]
     assert n == ev.count()
+
+
+def test_differential_stream_history_semantics(spark, tmp_path):
+    """applyInPandasWithState differential dedup = the reference history
+    store (lib/Gtfsrt2LC.js:698-750): emit on change, suppress unchanged,
+    re-emit when the value changes back — across micro-batches."""
+    import datetime as dt
+
+    from gtfsrt2lc_spark.streaming.events import differential_stream
+
+    d = str(tmp_path / "diff")
+    schema = "key string, delay long, ts timestamp"
+    t0 = dt.datetime(2024, 1, 15, 8, 0, 0)
+
+    def mk(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}")
+
+    # batch 1: k1 appears (delay 60), k2 appears (0)
+    mk([("k1", 60, t0), ("k2", 0, t0)], "b1")
+    # batch 2: k1 unchanged (suppress), k2 changes to 120 (emit),
+    #          k1 later changes back to 0 (emit) then repeats 0 (suppress)
+    mk([("k1", 60, t0 + dt.timedelta(minutes=1)),
+        ("k2", 120, t0 + dt.timedelta(minutes=1)),
+        ("k1", 0, t0 + dt.timedelta(minutes=2)),
+        ("k1", 0, t0 + dt.timedelta(minutes=3))], "b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/b*")
+    )
+    diff = differential_stream(stream, ["key"], ["delay"], ts_col="ts")
+    q = (
+        diff.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("diff_hist")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["key"], r["delay"]) for r in spark.sql("SELECT * FROM diff_hist").collect()
+    )
+    assert got == [("k1", 0), ("k1", 60), ("k2", 0), ("k2", 120)]
+
+
+def test_streaming_kg_pipeline_matches_batch(spark, corpus_dfs, tmp_path):
+    """foreachBatch micro-batch KG construction over a file-source stream
+    produces exactly the batch pipeline's triple set (T1: poll-mode parity)."""
+    from gtfsrt2lc_spark.fixtures.pages import PREDICATES
+    from gtfsrt2lc_spark.plans.kg_pipeline import KGPipeline
+    from gtfsrt2lc_spark.streaming.pages import (
+        read_stream_triples,
+        stream_pages_to_triples,
+    )
+
+    pages, records, surfaces, sameas = corpus_dfs
+    pipe = KGPipeline(records, surfaces, sameas,
+                      {ph: loc for ph, (loc, _, _) in PREDICATES.items()})
+    try:
+        want = {(r["subj"], r["pred"], r["obj"])
+                for r in pipe.triples(pages).select("subj", "pred", "obj").collect()}
+
+        src = str(tmp_path / "pages_src")
+        # two slices -> two files -> two micro-batches (maxFilesPerTrigger=1)
+        pages.where(F.crc32(F.col("url")) % 2 == 0).coalesce(1).write.parquet(f"{src}/a")
+        pages.where(F.crc32(F.col("url")) % 2 == 1).coalesce(1).write.parquet(f"{src}/b")
+
+        stream = (
+            spark.readStream.schema(pages.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        out = str(tmp_path / "triples_out")
+        q = stream_pages_to_triples(
+            stream, pipe, out, str(tmp_path / "ckpt"), available_now=True
+        )
+        q.awaitTermination(300)
+        got = {(r["subj"], r["pred"], r["obj"])
+               for r in read_stream_triples(spark, out).select("subj", "pred", "obj").collect()}
+        assert got == want and len(got) > 0
+    finally:
+        pipe.cleanup()

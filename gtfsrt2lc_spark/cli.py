@@ -1,0 +1,246 @@
+"""Command-line interface — parity with the reference's ``bin/`` tools.
+
+Two subcommands mirroring the reference CLIs:
+
+``rt2lc`` (ref bin/gtfsrt2lc.js:9-19 option surface)
+    -r/--real-time   path/glob to binary GTFS-RT feed file(s)
+    -s/--static      path to static GTFS: a directory of .txt files or a .zip
+    -u/--uris-template  JSON file with RFC-6570 URI templates (+ resolve map)
+    -f/--format      json | jsonld | csv | turtle | ntriples  (default json)
+    -S/--store       MemStore (broadcast dims) | LevelStore (shuffle joins)
+    -g/--grep        prune static tables to RT-updated trips (semi-join; the
+                     Spark analog of the reference's grep scan,
+                     lib/GtfsIndex.js:264-307)
+    -d/--deduce      deduce missing trip_ids (ref lib/Gtfsrt2LC.js:323-394)
+    -H/--history     path to a parquet history store for differential updates
+    -o/--output      output directory (default ./out); stdout timing logs
+                     mirror bin/gtfsrt2lc.js:86,94
+
+``rt2json`` (ref bin/gtfsrt2json.js)
+    -r/--real-time   feed path -> decoded FeedMessage JSON on stdout
+
+HTTP ingestion is out-of-engine by design (SURVEY.md S1): fetch the feed to a
+file first. The reference's ``-H/--headers`` option therefore has no analog.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+import zipfile
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATIC_TABLES = ["stops", "routes", "trips", "stop_times", "calendar"]
+
+
+def _read_static(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Directory of GTFS .txt files, or a .zip (extracted driver-side — the
+    reference stages zips the same way, lib/GtfsIndex.js:20-48)."""
+    if path.endswith(".zip"):
+        tmp = tempfile.mkdtemp(prefix="gtfs_static_")
+        with zipfile.ZipFile(path) as z:
+            z.extractall(tmp)
+        path = tmp
+    out: dict[str, DataFrame] = {}
+    for name in STATIC_TABLES + ["calendar_dates"]:
+        f = os.path.join(path, f"{name}.txt")
+        if os.path.exists(f):
+            out[name] = spark.read.option("header", True).csv(f)
+        elif name in STATIC_TABLES:
+            raise FileNotFoundError(f"static GTFS table missing: {f}")
+    return out
+
+
+def _read_feed(spark: SparkSession, path: str) -> DataFrame:
+    """Binary feed file(s) -> one payload row per file (ref S1,
+    lib/Gtfsrt2LC.js:270-291 minus the HTTP half)."""
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(F.col("content").alias("payload"))
+    )
+
+
+def _write_json(conns: DataFrame, out: str) -> None:
+    iso = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    obj = F.to_json(
+        F.struct(
+            F.col("type"),
+            F.col("departureStop"),
+            F.date_format("departureTime", iso).alias("departureTime"),
+            F.col("arrivalStop"),
+            F.date_format("arrivalTime", iso).alias("arrivalTime"),
+            F.col("departure_delay").alias("departureDelay"),
+            F.col("arrival_delay").alias("arrivalDelay"),
+            F.col("trip"),
+            F.col("route"),
+            F.col("headsign"),
+            F.col("pickup_type"),
+            F.col("drop_off_type"),
+        )
+    )
+    conns.select(obj.alias("line")).write.mode("overwrite").text(out)
+
+
+def _write_csv(conns: DataFrame, out: str) -> None:
+    from gtfsrt2lc_spark.sources.gtfs_serializers import (
+        CSV_HEADER,
+        connections_to_csv_lines,
+    )
+
+    connections_to_csv_lines(conns).write.mode("overwrite").text(out)
+    # header sidecar: distributed text parts can't prepend (documented
+    # divergence from the stream writer, lib/Connections2CSV.js:10-12)
+    with open(os.path.join(out, "header.csv"), "w") as f:
+        f.write(CSV_HEADER + "\n")
+
+
+def run_rt2lc(args: argparse.Namespace, spark: SparkSession) -> int:
+    from gtfsrt2lc_spark.plans.gtfs import (
+        DEFAULT_URIS,
+        GtfsIndexes,
+        Gtfsrt2LCPipeline,
+        HistoryStore,
+    )
+    from gtfsrt2lc_spark.functions.gtfsrt_proto import decode_feed_df
+    from gtfsrt2lc_spark.sources.gtfs_serializers import (
+        connections_to_quads,
+        write_connections_jsonld,
+    )
+    from gtfsrt2lc_spark.sources.nquads import to_nquads_lines, write_turtle
+
+    uris = DEFAULT_URIS
+    if args.uris_template:
+        with open(args.uris_template) as f:
+            uris = json.load(f)
+
+    t0 = time.monotonic()
+    updates = decode_feed_df(_read_feed(spark, args.real_time))
+    static = _read_static(spark, args.static)
+    if args.grep:
+        # S6 grep analog: semi-join static facts down to the RT-updated trip
+        # set before index build (lib/GtfsIndex.js:107-118,264-307). Under
+        # --deduce the candidate trips aren't known yet, so trips/stop_times
+        # stay whole (the reference greps by route in that mode).
+        upd = F.broadcast(
+            updates.where(F.col("trip_id").isNotNull())
+            .select("trip_id")
+            .distinct()
+        )
+        if not args.deduce:
+            for tbl in ("trips", "stop_times"):
+                cols = static[tbl].columns  # semi-join reorders the key col
+                static[tbl] = static[tbl].join(upd, "trip_id", "left_semi").select(*cols)
+    indexes = GtfsIndexes(
+        stops=static["stops"],
+        routes=static["routes"],
+        trips=static["trips"],
+        stop_times=static["stop_times"],
+        calendar=static["calendar"],
+        calendar_dates=static.get("calendar_dates"),
+    )
+    t_index = time.monotonic() - t0
+    print(f"GTFS indexing process took {t_index * 1000:.0f} ms", file=sys.stderr)
+
+    as_of = (
+        datetime.fromisoformat(args.as_of).replace(tzinfo=timezone.utc)
+        if args.as_of
+        else None
+    )
+    pipe = Gtfsrt2LCPipeline(
+        indexes,
+        deduce=args.deduce,
+        as_of=as_of,
+        broadcast=(args.store != "LevelStore"),
+    )
+    t1 = time.monotonic()
+    conns = pipe.connections(updates)
+
+    if args.history:
+        store = HistoryStore(spark, args.history)
+        fresh = store.filter_new(conns).persist()
+        fresh.count()
+        store.commit(fresh)
+        conns = fresh
+
+    out = args.output
+    fmt = args.format
+    if fmt == "json":
+        _write_json(conns, out)
+    elif fmt == "jsonld":
+        write_connections_jsonld(conns, uris, out)
+    elif fmt == "csv":
+        _write_csv(conns, out)
+    elif fmt in ("turtle", "ntriples"):
+        quads = connections_to_quads(conns, uris)
+        if fmt == "turtle":
+            write_turtle(quads, out, obj_datatype="obj_datatype")
+        else:
+            to_nquads_lines(
+                quads, graph=None, obj_datatype="obj_datatype"
+            ).write.mode("overwrite").text(out)
+    else:
+        print(f"unknown format: {fmt}", file=sys.stderr)
+        return 2
+    t_conv = time.monotonic() - t1
+    print(
+        f"Linked Connections conversion process took {t_conv * 1000:.0f} ms",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def run_rt2json(args: argparse.Namespace) -> int:
+    from gtfsrt2lc_spark.functions.gtfsrt_proto import decode_feed
+
+    with open(args.real_time, "rb") as f:
+        print(json.dumps(decode_feed(f.read()), default=str))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gtfsrt2lc_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    lc = sub.add_parser("rt2lc", help="GTFS-RT + static GTFS -> Linked Connections")
+    lc.add_argument("-r", "--real-time", required=True)
+    lc.add_argument("-s", "--static", required=True)
+    lc.add_argument("-u", "--uris-template")
+    lc.add_argument(
+        "-f",
+        "--format",
+        default="json",
+        choices=["json", "jsonld", "csv", "turtle", "ntriples"],
+    )
+    lc.add_argument("-S", "--store", default="MemStore", choices=["MemStore", "LevelStore"])
+    lc.add_argument("-g", "--grep", action="store_true")
+    lc.add_argument("-d", "--deduce", action="store_true")
+    lc.add_argument("-H", "--history")
+    lc.add_argument("-o", "--output", default="./out")
+    lc.add_argument("--as-of", help="ISO timestamp pinning findTripStartDate (F4)")
+
+    js = sub.add_parser("rt2json", help="decode a GTFS-RT feed to JSON (ref bin/gtfsrt2json.js)")
+    js.add_argument("-r", "--real-time", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "rt2json":
+        return run_rt2json(args)
+    if spark is None:
+        from gtfsrt2lc_spark.session import get_spark
+
+        spark = get_spark(app_name="gtfsrt2lc_spark_cli")
+    return run_rt2lc(args, spark)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

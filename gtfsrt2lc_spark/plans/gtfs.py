@@ -333,12 +333,17 @@ class Gtfsrt2LCPipeline:
         indexes: GtfsIndexes,
         deduce: bool = False,
         as_of: datetime | None = None,
+        broadcast: bool = True,
     ) -> None:
         self.idx = indexes
         self.deduce = deduce
         # F4 uses the wall clock in the reference (lib/Gtfsrt2LC.js:397) —
         # nondeterministic; here an explicit as_of pins it (SURVEY.md §7.3)
         self.as_of = as_of or datetime(2024, 1, 15, 12, 0, 0, tzinfo=timezone.utc)
+        # MemStore/LevelStore duality (ref lib/GtfsIndex.js:99-146): broadcast
+        # hash joins (dims in memory) vs planner-chosen shuffle joins (dims
+        # too big to pin); both must yield identical connection sets
+        self._b = F.broadcast if broadcast else (lambda df: df)
 
     # ---- J5 trip deduction ------------------------------------------------
     def _deduce(self, updates: DataFrame) -> DataFrame:
@@ -347,8 +352,8 @@ class Gtfsrt2LCPipeline:
         nt = updates.where(F.col("trip_id").isNull() & F.col("route_id").isNotNull())
         if nt.isEmpty():
             return updates
-        t = F.broadcast(self.idx.trips.join(self.idx.first_stops, "trip_id"))
-        cal = F.broadcast(self.idx.calendar)
+        t = self._b(self.idx.trips.join(self.idx.first_stops, "trip_id"))
+        cal = self._b(self.idx.calendar)
         cand = nt.drop("trip_id").join(
             t.select(
                 "trip_id",
@@ -384,7 +389,7 @@ class Gtfsrt2LCPipeline:
             "left",
         )
         if self.idx.calendar_dates is not None:
-            cand = cand.join(F.broadcast(self.idx.calendar_dates), "service_id", "left")
+            cand = cand.join(self._b(self.idx.calendar_dates), "service_id", "left")
             exc = F.element_at(F.col("exceptions"), F.col("start_date"))
         else:
             exc = F.lit(None).cast("string")
@@ -406,7 +411,7 @@ class Gtfsrt2LCPipeline:
             .where(F.col("_rn") == 1)
             .select("entity_id", F.col("trip_id").alias("_deduced_trip"))
         )
-        return updates.join(F.broadcast(deduced), "entity_id", "left").withColumn(
+        return updates.join(self._b(deduced), "entity_id", "left").withColumn(
             "trip_id", F.coalesce(F.col("trip_id"), F.col("_deduced_trip"))
         ).drop("_deduced_trip")
 
@@ -455,7 +460,7 @@ class Gtfsrt2LCPipeline:
         if self.deduce:
             u = self._deduce(u)
         # J1/J2/J3 inner joins: silent drop on missing static data (P3)
-        t = F.broadcast(
+        t = self._b(
             self.idx.trips.join(self.idx.first_stops, "trip_id", "left")
         )
         u = u.join(
@@ -465,11 +470,11 @@ class Gtfsrt2LCPipeline:
             ),
             "trip_id",
         ).withColumn("route_id", F.coalesce(F.col("route_id"), F.col("_t_route_id")))
-        u = u.join(F.broadcast(self.idx.routes), "route_id")
-        u = u.join(F.broadcast(self.idx.stop_times_by_trip), "trip_id")
+        u = u.join(self._b(self.idx.routes), "route_id")
+        u = u.join(self._b(self.idx.stop_times_by_trip), "trip_id")
         u = u.where(F.size("static_stops") >= 2)  # P3 (:104)
         u = u.join(
-            F.broadcast(self.idx.calendar.select("service_id", *DAYS)),
+            self._b(self.idx.calendar.select("service_id", *DAYS)),
             "service_id",
             "left",
         )
@@ -493,27 +498,27 @@ class Gtfsrt2LCPipeline:
         )
         # J4: stop dimension joins (dep + arr, aliased) + route for output
         stops_dim = self.idx.stops
-        dep = F.broadcast(
+        dep = self._b(
             stops_dim.select(
                 F.col("stop_id").alias("departure_stop"),
                 F.struct(*[F.col(c) for c in stops_dim.columns]).alias("departureStop"),
             )
         )
-        arr = F.broadcast(
+        arr = self._b(
             stops_dim.select(
                 F.col("stop_id").alias("arrival_stop"),
                 F.struct(*[F.col(c) for c in stops_dim.columns]).alias("arrivalStop"),
             )
         )
         routes_dim = self.idx.routes
-        rt = F.broadcast(
+        rt = self._b(
             routes_dim.select(
                 F.col("route_id"),
                 F.struct(*[F.col(c) for c in routes_dim.columns]).alias("route"),
             )
         )
         trips_dim = self.idx.trips.drop("_pos")
-        tr = F.broadcast(
+        tr = self._b(
             trips_dim.select(
                 F.col("trip_id"),
                 F.struct(*[F.col(c) for c in trips_dim.columns]).alias("trip"),

@@ -129,3 +129,23 @@ def test_cli_static_zip(staged, spark, tmp_path):
     )
     assert rc == 0
     assert len(_lines(tmp_path / "zout")) > 0
+
+
+def test_cli_error_paths(staged, spark, tmp_path):
+    # nonexistent RT feed throws (ref test/gtfsrt2lc.test.js:642-657)
+    with pytest.raises(Exception):
+        main(
+            ["rt2lc", "-r", str(tmp_path / "missing.pb"), "-s", str(staged / "static"),
+             "-o", str(tmp_path / "e1")],
+            spark=spark,
+        )
+    # missing static table throws (ref :659-675)
+    bad_static = tmp_path / "bad_static"
+    bad_static.mkdir()
+    (bad_static / "stops.txt").write_text("stop_id\nS1\n")
+    with pytest.raises(FileNotFoundError):
+        main(
+            ["rt2lc", "-r", str(staged / "feed.pb"), "-s", str(bad_static),
+             "-o", str(tmp_path / "e2")],
+            spark=spark,
+        )

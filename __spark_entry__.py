@@ -220,6 +220,45 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward-inclusive as-of join (union + ordered window; one shuffle on
+    the key, no inequality join — operators/joins.asof_join). For every
+    click, the user's most recent purchase at-or-before it."""
+    from gtfsrt2lc_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    out = asof_join(clicks, purchases, "user_id")
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("purchase_id_r").alias("purchase_id"),
+        F.round("value_r", 6).alias("purchase_value"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Point-in-interval join via interval bucketization (equi-join on
+    bucket + residual filter — operators/joins.range_join_point; never a
+    nested-loop plan). Events landing in 2-hour post-signup windows."""
+    from gtfsrt2lc_spark.operators.joins import range_join_point
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "ts")
+    windows = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
+    )
+    out = range_join_point(left, windows, "ts", "lo", "hi")
+    return out.select("event_id", F.col("window_id_r").alias("window_id"))
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-k per group via row_number (deterministic tie-break)."""
     o = _t(spark, sf_dir, "orders")
@@ -641,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "topk_per_group": q_topk_per_group,
         "global_topn": q_global_topn,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "enum_decode": q_enum_decode,
         "cancellation_classify": q_cancellation_classify,
         "date_format": q_date_format,
@@ -821,6 +862,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
             FROM sess GROUP BY user_id
+        """,
+        "asof_join": """
+            SELECT l.event_id AS click_id,
+                   l.user_id AS user_id,
+                   r.event_id AS purchase_id,
+                   ROUND(r.value, 6) AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            SELECT l.event_id AS event_id, r.event_id AS window_id
+            FROM events l
+            JOIN events r
+              ON r.event_type = 'signup'
+             AND l.ts >= r.ts
+             AND l.ts < r.ts + INTERVAL 2 HOUR
         """,
         "topk_per_group": """
             SELECT o_custkey, o_orderkey, price, rank FROM (

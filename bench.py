@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "sessionize",
     "topk_per_group",
     "time_buckets",
+    "asof_join",
+    "range_join",
     "doc_fingerprint",
     "doc_simhash",
     "token_count",

@@ -1,0 +1,61 @@
+"""Streaming GTFS-RT poll mode (ref lib/catchCancelled.js:12-32): indexes
+built once, feeds dropped into a watched dir, differential emit per poll."""
+
+from __future__ import annotations
+
+import pytest
+
+from gtfsrt2lc_spark.fixtures import gtfs as G
+from gtfsrt2lc_spark.plans.gtfs import GtfsIndexes, Gtfsrt2LCPipeline, HistoryStore
+from gtfsrt2lc_spark.streaming.gtfs import (
+    read_stream_connections,
+    stream_feeds_to_connections,
+)
+
+AS_OF = __import__("datetime").datetime(2024, 1, 15, 9, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark):
+    t = G.spark_static(spark)
+    idx = GtfsIndexes(
+        stops=t["stops"], routes=t["routes"], trips=t["trips"],
+        stop_times=t["stop_times"], calendar=t["calendar"],
+        calendar_dates=t.get("calendar_dates"),
+    )
+    return Gtfsrt2LCPipeline(idx, deduce=True, as_of=AS_OF)
+
+
+def _drain(spark, feed_dir, pipeline, store, out, ckpt):
+    q = stream_feeds_to_connections(
+        spark, feed_dir, pipeline, store, out, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+
+
+def test_poll_mode_differential(spark, pipeline, tmp_path):
+    feed_dir = tmp_path / "feeds"
+    feed_dir.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    store = HistoryStore(spark, str(tmp_path / "history"))
+
+    # poll 1: fresh feed -> emits connections
+    (feed_dir / "poll1.pb").write_bytes(G.gap_feed())
+    _drain(spark, str(feed_dir), pipeline, store, out, ckpt)
+    n1 = read_stream_connections(spark, out).count()
+    assert n1 > 0
+
+    # poll 2: identical feed re-polled -> emits 0 (ref test :156)
+    (feed_dir / "poll2.pb").write_bytes(G.gap_feed())
+    _drain(spark, str(feed_dir), pipeline, store, out, ckpt)
+    assert read_stream_connections(spark, out).count() == n1
+
+    # poll 3: cancellation feed arrives -> only the changed/new rows emit,
+    # and the cancellations are visible (the catchCancelled.js use case)
+    (feed_dir / "poll3.pb").write_bytes(G.cancellation_feed())
+    _drain(spark, str(feed_dir), pipeline, store, out, ckpt)
+    allc = read_stream_connections(spark, out)
+    n3 = allc.count()
+    assert n3 > n1
+    cancelled = allc.where("type = 'CancelledConnection'").count()
+    assert cancelled == 9  # golden count (ref test :515)

@@ -220,6 +220,57 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash sampling (training-data staple): 30% of documents
+    by poly-hash bucket — identical sample set on any engine/cluster size,
+    unlike rand()-based sample()."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(
+        poly_hash(F.col("doc_id").cast("string")) % 10 < 3
+    ).select("doc_id", "lang")
+
+
+def q_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.salted_agg): groupBy
+    (keys+salt) partials, then final reduce — identical results to the
+    direct groupBy the oracle runs, with the reduce fan-in split 8x for
+    skewed keys."""
+    from gtfsrt2lc_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        [F.sum(_dec("l_quantity")).alias("_pq"), F.count("*").alias("_pc")],
+        [
+            F.sum("_pq").cast("double").alias("qty"),
+            F.sum("_pc").alias("n_rows"),
+        ],
+        n_salts=8,
+    )
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label dimension-wise centroid over array<float> embeddings
+    (posexplode -> avg -> flat rows; map-side combinable)."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val")
+    )
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group (Spark percentile ==
+    DuckDB quantile_cont)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Backward-inclusive as-of join (union + ordered window; one shuffle on
     the key, no inequality join — operators/joins.asof_join). For every
@@ -682,6 +733,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_topn": q_global_topn,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "stratified_sample": q_stratified_sample,
+        "salted_agg": q_salted_agg,
+        "embedding_centroids": q_embedding_centroids,
+        "value_percentiles": q_value_percentiles,
         "enum_decode": q_enum_decode,
         "cancellation_classify": q_cancellation_classify,
         "date_format": q_date_format,
@@ -862,6 +917,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
             FROM sess GROUP BY user_id
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE ({_POLY_HASH_SQL.format(s="CAST(doc_id AS VARCHAR)")}) % 10 < 3
+        """,
+        "salted_agg": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "embedding_centroids": """
+            SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid_val
+            FROM (SELECT label,
+                         UNNEST(embedding) AS v,
+                         UNNEST(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY label, pos
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(value, 0.50), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.75), 6) AS p75
+            FROM events GROUP BY event_type
         """,
         "asof_join": """
             SELECT l.event_id AS click_id,

@@ -189,7 +189,11 @@ def decode_feed(data: bytes | None) -> dict:
                     elif ef == 3:
                         ent["trip_update"] = _decode_trip_update(ev)
                 out["entities"].append(ent)
-    except (ValueError, IndexError):
+    except (ValueError, IndexError, TypeError, AttributeError):
+        # wire-type-mismatched or truncated garbage: a field decoded as the
+        # wrong primitive (int where a submessage/string was expected)
+        # surfaces as TypeError/AttributeError in the nested decoders —
+        # same malformed-input contract as a bad varint
         return {"header_ts": None, "entities": []}
     return out
 

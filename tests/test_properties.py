@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+Spark-free where possible so hypothesis can run hundreds of examples; the
+N-Quads round-trip batches all generated strings into one Spark job."""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from gtfsrt2lc_spark.functions.gtfsrt_proto import decode_feed, encode_feed
+from gtfsrt2lc_spark.functions.text import extract_text_bytes
+
+# protobuf strings must be valid UTF-8 (no surrogates)
+_pb_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30
+)
+
+_stu = st.fixed_dictionaries(
+    {},
+    optional={
+        "stop_sequence": st.integers(0, 10_000),
+        "stop_id": _pb_text,
+        "arrival_delay": st.integers(-86_400, 86_400),
+        "arrival_time": st.integers(0, 2**33),
+        "departure_delay": st.integers(-86_400, 86_400),
+        "departure_time": st.integers(0, 2**33),
+        "schedule_relationship": st.integers(0, 3),
+    },
+)
+
+_entity = st.fixed_dictionaries(
+    {"entity_id": _pb_text},
+    optional={
+        "is_deleted": st.booleans(),
+        "trip_update": st.fixed_dictionaries(
+            {"trip": st.fixed_dictionaries(
+                {},
+                optional={
+                    "trip_id": _pb_text,
+                    "route_id": _pb_text,
+                    "direction_id": st.integers(0, 1),
+                    "start_time": _pb_text,
+                    "start_date": _pb_text,
+                    "schedule_relationship": st.integers(0, 3),
+                },
+            )},
+            optional={
+                "stop_time_updates": st.lists(_stu, max_size=5),
+                "timestamp": st.integers(0, 2**33),
+            },
+        ),
+    },
+)
+
+
+@given(ts=st.integers(1, 2**33), entities=st.lists(_entity, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_proto_roundtrip(ts, entities):
+    """decode(encode(feed)) preserves every field the engine consumes —
+    including negative delays (early vehicles, signed varint)."""
+    feed = decode_feed(encode_feed(ts, entities))
+    assert feed["header_ts"] == ts
+    assert len(feed["entities"]) == len(entities)
+    for want, got in zip(entities, feed["entities"]):
+        assert got["entity_id"] == want["entity_id"]
+        assert got["is_deleted"] == want.get("is_deleted", False)
+        wtu = want.get("trip_update")
+        if wtu is None:
+            assert got["trip_update"] is None
+            continue
+        gtu = got["trip_update"]
+        wtrip = wtu.get("trip", {})
+        for k, v in wtrip.items():
+            assert gtu["trip"].get(k) == v, (k, v, gtu["trip"])
+        wstus = wtu.get("stop_time_updates", [])
+        gstus = gtu.get("stop_time_updates", [])
+        assert len(gstus) == len(wstus)
+        for ws, gs in zip(wstus, gstus):
+            for k in ("stop_sequence", "stop_id", "schedule_relationship"):
+                assert gs.get(k) == ws.get(k)
+            for side in ("arrival", "departure"):
+                assert gs.get(f"{side}_delay") == ws.get(f"{side}_delay")
+                assert gs.get(f"{side}_time") == ws.get(f"{side}_time")
+
+
+@given(data=st.binary(max_size=500))
+@settings(max_examples=300, deadline=None)
+def test_decode_total_on_garbage(data):
+    """Arbitrary bytes never crash the decoder (P2-style silent skip)."""
+    feed = decode_feed(data)
+    assert isinstance(feed["entities"], list)
+
+
+@given(html=st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_extract_deterministic_and_clean(html):
+    """Extraction is deterministic byte-for-byte and emits no raw tags,
+    no CR, no double blank lines, no leading/trailing whitespace."""
+    a = extract_text_bytes(html)
+    b = extract_text_bytes(html)
+    assert a == b
+    assert "\r" not in a and "\n\n" not in a
+    assert a == a.strip()
+
+
+@pytest.mark.usefixtures("spark")
+@given(strings=st.lists(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), min_size=1, max_size=40),
+    min_size=1, max_size=50, unique=True,
+))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_nquads_literal_roundtrip(spark, strings, tmp_path_factory):
+    """Literal escape -> write -> parse -> unescape is the identity for
+    arbitrary object strings (quotes, backslashes, newlines, tabs...)."""
+    from gtfsrt2lc_spark.sources.nquads import read_nquads, to_nquads_lines
+
+    # strings starting like IRIs/bnodes serialize as IRIs, not literals
+    strings = [s for s in strings
+               if not s.startswith(("http://", "https://", "_:"))]
+    if not strings:
+        return
+    rows = [(f"http://ex.org/s/{i}", "http://ex.org/p", s)
+            for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = str(tmp_path_factory.mktemp("nq"))
+    to_nquads_lines(df, graph=None).write.mode("overwrite").text(out)
+    back = read_nquads(spark, out)
+    got = {r.obj for r in back.collect()}
+    assert got == set(strings)

@@ -20,7 +20,9 @@ Two subcommands mirroring the reference CLIs:
     -r/--real-time   feed path -> decoded FeedMessage JSON on stdout
 
 HTTP ingestion is out-of-engine by design (SURVEY.md S1): fetch the feed to a
-file first. The reference's ``-H/--headers`` option therefore has no analog.
+file first. The reference's ``-H/--headers`` option therefore has no analog;
+its ``-h <history>`` flag maps to ``-H/--history`` here (argparse reserves
+``-h`` for help).
 """
 
 from __future__ import annotations

@@ -53,6 +53,7 @@ class KGPipeline:
         predicates: dict[str, str],
         fuzzy: bool = True,
         fuzzy_threshold: float = 0.5,
+        max_local_surfaces: int | None = 1_000_000,
     ) -> None:
         self.records = records
         self.surfaces = surfaces
@@ -60,6 +61,13 @@ class KGPipeline:
         self.predicates = predicates
         self.fuzzy = fuzzy
         self.fuzzy_threshold = fuzzy_threshold
+        # linked() resolves the surface->record mapping driver-side while the
+        # distinct surface set stays under this cap (the fast path: one tiny
+        # LocalRelation broadcast, zero broadcast-subplan recomputation), and
+        # falls back to a fully distributed mapping beyond it — at web scale
+        # the distinct capitalized-span set grows with the corpus and must
+        # never be collected. None = always local (tests/micro-batches).
+        self.max_local_surfaces = max_local_surfaces
         self._canonical_map: DataFrame | None = None
         self._dict_local: dict[str, str] | None = None
         self._scratch_dirs: list[str] = []
@@ -113,25 +121,30 @@ class KGPipeline:
             }
         return self._dict_local
 
-    def surface_mapping_rows(self, mentions: DataFrame) -> list[tuple[str, str]]:
+    def surface_mapping_rows(
+        self, mentions: DataFrame, surfs: list[str] | None = None
+    ) -> list[tuple[str, str]]:
         """Resolve surface -> record_id ONCE over the distinct surfaces.
 
-        The mention stream is huge; the distinct surface set is small
-        (bounded by the KB + noise), so it is collected and matched against
-        the driver-side dictionary. The fuzzy MinHash-LSH pass runs only
-        when unmatched surfaces exist, over LocalRelations — the same shape
-        as the reference's grep pruning by updated-trip list
+        The mention stream is huge; the distinct surface set is usually small
+        (KB + noise), so it is collected and matched against the driver-side
+        dictionary. The fuzzy MinHash-LSH pass runs only when unmatched
+        surfaces exist, over LocalRelations — the same shape as the
+        reference's grep pruning by updated-trip list
         (lib/GtfsIndex.js:107-118): heavy work only for keys that need it.
         Short-circuiting the all-exact case removes 2-3 Spark jobs from the
-        pipeline's serial floor."""
-        surfs = [
-            r["surface"]
-            for r in mentions.select(
-                F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
-            )
-            .distinct()
-            .collect()
-        ]
+        pipeline's serial floor. ``linked()`` guards this path with
+        ``max_local_surfaces`` and switches to a distributed mapping when
+        the distinct set is too large to collect."""
+        if surfs is None:
+            surfs = [
+                r["surface"]
+                for r in mentions.select(
+                    F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
+                )
+                .distinct()
+                .collect()
+            ]
         dic = self._resolved_dictionary()
         mapped = [(s, dic[s]) for s in surfs if s in dic]
         unmatched = [s for s in surfs if s not in dic]
@@ -170,14 +183,53 @@ class KGPipeline:
         persist suffers block-lock/unroll contention when broadcast-exchange
         threads race the main job (measured 4-25x CPU inflation at
         local[32]), while file scans are lock-free and exactly what a
-        multi-executor cluster would do. See BENCH/BASELINE.md."""
+        multi-executor cluster would do. See BENCH/BASELINE.md.
+
+        When the distinct surface set exceeds ``max_local_surfaces`` the
+        driver-side path is unsafe (web-scale corpora mint unbounded
+        capitalized spans), so the mapping is built fully distributed:
+        broadcast-dictionary exact join + MinHash-LSH fuzzy pass over the
+        unmatched remainder, staged once and shuffle-joined to mentions."""
         spark = mentions.sparkSession
         mentions = self._stage(mentions)
-        mapping = F.broadcast(
-            spark.createDataFrame(
-                self.surface_mapping_rows(mentions), "surface string, record_id string"
+        surfs_df = mentions.select(
+            F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
+        ).distinct()
+        local: list[str] | None = None
+        if self.max_local_surfaces is None:
+            local = [r["surface"] for r in surfs_df.collect()]
+        else:
+            # one job either way: the head IS the local surface list when it
+            # fits, and the size probe when it doesn't
+            head = surfs_df.limit(self.max_local_surfaces + 1).collect()
+            if len(head) <= self.max_local_surfaces:
+                local = [r["surface"] for r in head]
+        if local is not None:
+            mapping = F.broadcast(
+                spark.createDataFrame(
+                    self.surface_mapping_rows(mentions, surfs=local),
+                    "surface string, record_id string",
+                )
             )
-        )
+        else:
+            from gtfsrt2lc_spark.operators.linking import (
+                link_fuzzy,
+                resolve_dictionary,
+            )
+
+            dic = resolve_dictionary(self.surfaces).select("surface", "record_id")
+            exact = surfs_df.join(F.broadcast(dic), "surface")
+            if self.fuzzy:
+                unmatched = surfs_df.join(
+                    F.broadcast(dic.select("surface")), "surface", "left_anti"
+                )
+                fz = link_fuzzy(
+                    unmatched, self.surfaces, jaccard_threshold=self.fuzzy_threshold
+                ).select("surface", "record_id")
+                mapping = exact.unionByName(fz)
+            else:
+                mapping = exact
+            mapping = self._stage(mapping)
         m = mentions.join(
             mapping.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
                 "record_id", "subj_surface_record"

@@ -75,14 +75,19 @@ _NQ_PATTERN = (
 
 
 def _unescape_literal(col: Column) -> Column:
-    # single-pass-safe: park escaped backslashes in a sentinel first
-    sentinel = "\u0000"
-    out = F.regexp_replace(col, r"\\\\", sentinel)
-    out = F.regexp_replace(out, r'\\"', '"')
-    out = F.regexp_replace(out, r"\\n", "\n")
-    out = F.regexp_replace(out, r"\\r", "\r")
-    out = F.regexp_replace(out, r"\\t", "\t")
-    return F.regexp_replace(out, sentinel, r"\\")
+    # sentinel-free single pass: split on escaped backslashes, unescape each
+    # segment, re-join with a literal backslash. (A sentinel character can
+    # collide with data — a literal NUL round-tripped to a backslash before.)
+    def _unesc_segment(seg: Column) -> Column:
+        out = F.regexp_replace(seg, r'\\"', '"')
+        out = F.regexp_replace(out, r"\\n", "\n")
+        out = F.regexp_replace(out, r"\\r", "\r")
+        out = F.regexp_replace(out, r"\\t", "\t")
+        return out
+
+    return F.array_join(
+        F.transform(F.split(col, r"\\\\"), _unesc_segment), "\\"
+    )
 
 
 def read_nquads(spark, path: str) -> DataFrame:

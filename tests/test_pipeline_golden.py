@@ -88,3 +88,21 @@ def test_fuzzy_linking_recovers_typos(spark, corpus_dfs, corpus):
     assert got.get("Ada Lovelacee") == rec_by_name["Ada Lovelace"]
     assert got.get("Grace Hoper") == rec_by_name["Grace Hopper"]
     assert got.get("Stark Industres") == rec_by_name["Stark Industries"]
+
+
+def test_distributed_mapping_equivalence(corpus_dfs, result_triples):
+    """max_local_surfaces=0 forces the fully distributed surface->record
+    mapping (the web-scale path where the distinct surface set must never
+    be collected); the triple set must be identical to the driver-side
+    fast path — the engine's MemStore/LevelStore-style duality."""
+    pages, records, surfaces, sameas = corpus_dfs
+    preds = {phrase: local for phrase, (local, _, _) in PREDICATES.items()}
+    pipe = KGPipeline(records, surfaces, sameas, preds, max_local_surfaces=0)
+    try:
+        got = {
+            (r["subj"], r["pred"], r["obj"])
+            for r in pipe.triples(pages).collect()
+        }
+    finally:
+        pipe.cleanup()
+    assert got == result_triples

@@ -944,13 +944,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "asof_join": """
-            SELECT l.event_id AS click_id,
-                   l.user_id AS user_id,
-                   r.event_id AS purchase_id,
-                   ROUND(r.value, 6) AS purchase_value
-            FROM (SELECT * FROM events WHERE event_type = 'click') l
-            ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-              ON l.user_id = r.user_id AND l.ts >= r.ts
+            -- window-emulated ASOF JOIN: DuckDB's ASOF picks an arbitrary
+            -- row among equal-ts ties; this ORDER BY mirrors the engine's
+            -- deterministic tie-break (latest ts, then largest right
+            -- payload struct = (ts, event_id, value) lexicographic)
+            SELECT click_id, user_id, purchase_id, purchase_value FROM (
+                SELECT l.event_id AS click_id,
+                       l.user_id AS user_id,
+                       r.event_id AS purchase_id,
+                       ROUND(r.value, 6) AS purchase_value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l.event_id
+                           ORDER BY r.ts DESC, r.event_id DESC, r.value DESC
+                       ) AS rn
+                FROM (SELECT * FROM events WHERE event_type = 'click') l
+                JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+                  ON l.user_id = r.user_id AND l.ts >= r.ts
+            ) WHERE rn = 1
         """,
         "range_join": """
             SELECT l.event_id AS event_id, r.event_id AS window_id

@@ -36,6 +36,16 @@ def asof_join(
     Ties on equal ts resolve to the right row (inclusive), then to the
     largest right payload struct (deterministic).
     """
+    reserved = {"_ts", "_side", "_l", "_r", "_match"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(f"asof_join reserves column names {sorted(clash)}")
+    # a NULL timestamp can never satisfy right_ts <= left_ts; dropping such
+    # rows up front also keeps NULLS FIRST ordering from parking a null-ts
+    # right payload at the start of every partition (where last(...,
+    # ignorenulls) would carry it into every left row)
+    left = left.where(F.col(left_ts).isNotNull())
+    right = right.where(F.col(right_ts).isNotNull())
     lcols = [c for c in left.columns]
     rcols = [c for c in right.columns if c != on]
     l = left.select(
@@ -90,6 +100,8 @@ def range_join_point(
     shuffle-partitionable and AQE-skew-splittable, where the naive
     inequality join would be a broadcast nested loop.
     """
+    if "_bucket" in left.columns or "_bucket" in right.columns:
+        raise ValueError("range_join_point reserves the column name '_bucket'")
     lcols = left.columns
     rcols = right.columns
     lb = left.withColumn(

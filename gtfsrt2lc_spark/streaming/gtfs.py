@@ -22,12 +22,15 @@ BINARYFILE_SCHEMA = (
     "path string, modificationTime timestamp, length bigint, content binary"
 )
 
-# columns persisted per epoch (flat, parquet-friendly)
-_OUT_COLS = [
-    "type", "trip_id", "route_id", "service_day", "departure_stop",
-    "arrival_stop", "departure_time", "arrival_time", "departure_delay",
-    "arrival_delay", "headsign", "pickup_type", "drop_off_type",
-]
+# columns persisted per epoch (flat, parquet-friendly); DDL doubles as the
+# read schema so an all-empty output dir still reads as 0 rows
+_OUT_SCHEMA = (
+    "type string, trip_id string, route_id string, service_day string, "
+    "departure_stop string, arrival_stop string, departure_time bigint, "
+    "arrival_time bigint, departure_delay bigint, arrival_delay bigint, "
+    "headsign string, pickup_type string, drop_off_type string"
+)
+_OUT_COLS = [f.split(" ")[0] for f in _OUT_SCHEMA.split(", ")]
 
 
 def stream_feeds_to_connections(
@@ -56,13 +59,37 @@ def stream_feeds_to_connections(
     )
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        updates = decode_feed_df(batch_df.select(F.col("content").alias("payload")))
-        conns = pipeline.connections(updates)
-        fresh = history_store.filter_new(conns).persist()
-        target = os.path.join(out_dir, f"epoch={epoch_id}")
-        fresh.select(*_OUT_COLS).write.mode("overwrite").parquet(target)
-        history_store.commit(fresh)
-        fresh.unpersist()
+        # polls are SEQUENTIAL in the reference loop: when several feed
+        # files land in one micro-batch, process them oldest-first so a
+        # connection that changed between polls emits each state change in
+        # order (one combined pass would emit contradictory rows and commit
+        # an arbitrary one)
+        files = sorted(
+            (
+                (r["modificationTime"], r["path"])
+                for r in batch_df.select("path", "modificationTime").distinct().collect()
+            )
+        )
+        for i, (_mt, path) in enumerate(files):
+            updates = decode_feed_df(
+                batch_df.where(F.col("path") == path)
+                .select(F.col("content").alias("payload"))
+            )
+            conns = pipeline.connections(updates)
+            fresh = history_store.filter_new(conns).persist()
+            n_fresh = fresh.count()
+            target = os.path.join(out_dir, f"epoch={epoch_id}-{i}")
+            # replay safety: write BEFORE commit; on a replayed epoch whose
+            # states were already committed (crash between commit and the
+            # streaming checkpoint), filter_new yields 0 — skipping the
+            # overwrite preserves the previously written output instead of
+            # erasing it with an empty frame
+            already_written = os.path.exists(os.path.join(target, "_SUCCESS"))
+            if n_fresh > 0 or not already_written:
+                fresh.select(*_OUT_COLS).write.mode("overwrite").parquet(target)
+            if n_fresh > 0:  # also: no whole-store rewrite for no-op polls
+                history_store.commit(fresh)
+            fresh.unpersist()
 
     writer = feeds.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -77,4 +104,8 @@ def stream_feeds_to_connections(
 def read_stream_connections(spark: SparkSession, out_dir: str) -> DataFrame:
     """All connections emitted across epochs (each row is a state change —
     the differential emit log, not a snapshot)."""
-    return spark.read.option("basePath", out_dir).parquet(out_dir)
+    return (
+        spark.read.schema(_OUT_SCHEMA)
+        .option("basePath", out_dir)
+        .parquet(out_dir)
+    )

@@ -112,3 +112,22 @@ def test_range_join_plan_is_equijoin(spark):
     ).withColumn("hi", F.col("lo") + F.expr("INTERVAL 1 HOUR"))
     plan = range_join_point(left, right, "ts", "lo", "hi")._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan  # bucketed equi-join, not O(n^2)
+
+
+def test_asof_join_null_ts_never_matches(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, None, "b")], "user_id int, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 5.0)], "user_id int, ts timestamp, value double"
+    )
+    # null-ts right rows are not carryable payloads; null-ts left rows drop
+    assert asof_join(left, right, "user_id").count() == 0
+
+
+def test_asof_join_reserved_names(spark):
+    df = spark.createDataFrame([(1, _ts(10), 0)], "user_id int, ts timestamp, _side int")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="_side"):
+        asof_join(df, df.drop("_side"), "user_id")

@@ -44,6 +44,9 @@ _RE_BLOCK = re.compile(rf"</?({_BLOCK_TAGS})\b[^>]*>", re.IGNORECASE)
 _RE_TAG = re.compile(r"<[^>]*>")
 _RE_NUMERIC_ENT = re.compile(r"&#(x[0-9a-fA-F]+|[0-9]+);")
 _RE_SPACES = re.compile(r"[ \t\r\f\v]+")
+# equivalent to _RE_SPACES.sub(" ") but never fires on a lone plain space
+# (the overwhelmingly common case): runs of >=2, or a single non-space char
+_RE_SPACES_FAST = re.compile(r"[ \t\r\f\v]{2,}|[\t\r\f\v]")
 _RE_BLANKLINES = re.compile(r"\n{2,}")
 
 _NAMED_ENTITIES = {
@@ -69,19 +72,24 @@ def _unescape_numeric(m: re.Match) -> str:
 
 
 def extract_text_str(html: str) -> str:
-    """Pure deterministic extraction over an already-decoded string."""
+    """Pure deterministic extraction over an already-decoded string.
+
+    The body is a byte-identical optimization of the spec in the module
+    docstring (asserted against the reference formulation by
+    test_extract_optimized_equivalence): entity passes are guarded on '&',
+    the whitespace collapse skips lone plain spaces, and blank-line
+    collapsing + final strip fold into one line-filtering join (collapsing
+    every \\n run to one newline == dropping empty stripped lines)."""
     s = _RE_COMMENT.sub("", html)
     s = _RE_DROP.sub("", s)
     s = _RE_BLOCK.sub("\n", s)
     s = _RE_TAG.sub("", s)
-    for ent, ch in _NAMED_ENTITIES.items():
-        s = s.replace(ent, ch)
-    s = _RE_NUMERIC_ENT.sub(_unescape_numeric, s)
-    s = _RE_SPACES.sub(" ", s)
-    lines = [ln.strip() for ln in s.split("\n")]
-    s = "\n".join(lines)
-    s = _RE_BLANKLINES.sub("\n", s)
-    return s.strip()
+    if "&" in s:
+        for ent, ch in _NAMED_ENTITIES.items():
+            s = s.replace(ent, ch)
+        s = _RE_NUMERIC_ENT.sub(_unescape_numeric, s)
+    s = _RE_SPACES_FAST.sub(" ", s)
+    return "\n".join(ln for ln in (ln.strip() for ln in s.split("\n")) if ln)
 
 
 def extract_text_bytes(html: bytes | None) -> str | None:

@@ -129,3 +129,40 @@ def test_nquads_literal_roundtrip(spark, strings, tmp_path_factory):
     back = read_nquads(spark, out)
     got = {r.obj for r in back.collect()}
     assert got == set(strings)
+
+
+# -- reference formulation of the extraction spec (module docstring), frozen
+#    here so the optimized body is provably byte-identical ------------------
+def _extract_reference(html: bytes | None) -> str | None:
+    import re as _re
+
+    from gtfsrt2lc_spark.functions import text as T
+
+    if html is None:
+        return None
+    s = html.decode("utf-8", errors="replace")
+    s = T._RE_COMMENT.sub("", s)
+    s = T._RE_DROP.sub("", s)
+    s = T._RE_BLOCK.sub("\n", s)
+    s = T._RE_TAG.sub("", s)
+    for ent, ch in T._NAMED_ENTITIES.items():
+        s = s.replace(ent, ch)
+    s = T._RE_NUMERIC_ENT.sub(T._unescape_numeric, s)
+    s = _re.sub(r"[ \t\r\f\v]+", " ", s)
+    lines = [ln.strip() for ln in s.split("\n")]
+    s = "\n".join(lines)
+    s = _re.sub(r"\n{2,}", "\n", s)
+    return s.strip()
+
+
+@given(html=st.binary(max_size=600))
+@settings(max_examples=500, deadline=None)
+def test_extract_optimized_equivalence(html):
+    assert extract_text_bytes(html) == _extract_reference(html)
+
+
+@given(html=st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_extract_optimized_equivalence_unicode(html):
+    b = html.encode("utf-8", "surrogatepass")
+    assert extract_text_bytes(b) == _extract_reference(b)

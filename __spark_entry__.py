@@ -451,6 +451,15 @@ def q_rollup(spark, sf_dir):
     )
 
 
+def q_cube(spark, sf_dir):
+    """CUBE grouping sets (all subtotal combinations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+    )
+
+
 def q_pivot(spark, sf_dir):
     """Pivot via conditional aggregation (engine-neutral form)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -746,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "set_except": q_set_except,
         "rollup": q_rollup,
+        "cube": q_cube,
         "pivot": q_pivot,
         "time_buckets": q_time_buckets,
         # corpus / training-data ops
@@ -1051,6 +1061,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "pivot": """
             SELECT l_returnflag,

@@ -33,13 +33,27 @@ from gtfsrt2lc_spark.functions.hashing import (
 )
 
 
-def latest_by_key(df: DataFrame, key: str, order_col: str) -> DataFrame:
+def latest_by_key(
+    df: DataFrame, key: str, order_col: str, unique_order: bool = False
+) -> DataFrame:
     """Keep the newest row per key (re-crawl dedup: url -> latest warc_ts).
 
     Deterministic: ties on order_col broken by the remaining sort of the
     row_number window being stable on (order_col desc) only when order values
     are unique — callers with possible ties should pass a composite order.
+
+    ``unique_order=True`` asserts (key, order_col) pairs are unique (true
+    for url + crawl timestamp) and switches to winner-agg + semi-join:
+    ``max(order)`` per key is map-side combinable over just two PRUNED
+    columns, so the wide payload (html bytes) NEVER shuffles — the window
+    form shuffles every byte of every row by key. The winner set is
+    (key, order) only: broadcastable when small, a narrow shuffle otherwise.
+    If the uniqueness assumption is violated, tied rows all survive (callers
+    like the triple pipeline absorb that in their terminal (s,p,o) dedup).
     """
+    if unique_order:
+        winners = df.groupBy(key).agg(F.max(order_col).alias(order_col))
+        return df.join(winners, [key, order_col], "left_semi")
     w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 

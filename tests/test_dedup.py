@@ -100,3 +100,21 @@ def test_embedding_neardup_exact_vs_lsh(spark):
     assert len(exact) == 18  # 6 clusters x C(3,2)
     assert lsh == exact  # near-identical vectors share every bucket
     assert all(c > 0.99 for c in exact.values())
+
+
+def test_latest_by_key_unique_order_never_shuffles_payload(spark):
+    """Plan-shape guard for the latest-wins scale path: with unique_order
+    the wide payload column must not appear in any Exchange input — the
+    winner agg shuffles only (key, order)."""
+    from gtfsrt2lc_spark.operators.dedup import latest_by_key
+
+    df = spark.createDataFrame(
+        [("u1", 1, b"x" * 10), ("u1", 2, b"y" * 10), ("u2", 1, b"z" * 10)],
+        "url string, warc_ts int, html binary",
+    )
+    fast = latest_by_key(df, "url", "warc_ts", unique_order=True)
+    assert {(r.url, r.warc_ts) for r in fast.collect()} == {("u1", 2), ("u2", 1)}
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "html" not in line, line

@@ -607,7 +607,9 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-5 (scale path; no SQL oracle — approx)."""
+    """LSH-bucketed approximate top-5 (scale path). Fully deterministic:
+    hyperplanes are seeded, so the DuckDB oracle regenerates them as literals
+    and replicates the bucket arithmetic exactly."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 3)
     return lsh_topk(e, q, dim=64, k=5, n_bits=6, n_tables=4)
@@ -615,13 +617,15 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) approximate top-5: sample-trained coarse quantizer,
-    cell-partitioned corpus, n_probe nearest cells per query (scale path; no
-    SQL oracle — approximate)."""
+    cell-partitioned corpus, n_probe nearest cells per query (scale path).
+    sample_size=256 so the training sample is exactly 256 rows at every SF
+    (embeddings has >=500 rows at all SFs) — this makes the seeded k-means
+    init data-independent and the DuckDB oracle's unrolled training exact."""
     from gtfsrt2lc_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 3)
-    return ivf_topk(e, q, dim=64, k=5, n_cells=8, n_probe=4, sample_size=512)
+    return ivf_topk(e, q, dim=64, k=5, n_cells=8, n_probe=4, sample_size=256)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -816,6 +820,148 @@ def _simhash_sql(hashes_expr: str) -> str:
     return f"(SELECT {bits} FROM (SELECT {hashes_expr} AS th) _sh)"
 
 
+def _duck_dot(a: str, b: str) -> str:
+    """Sequential left-fold dot product over 64 dims — bitwise-identical to
+    operators.similarity.dot (same operand order, float32 -> double casts)."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _duck_norm(v: str) -> str:
+    """sqrt of sequential sum of squares, with the 0 -> 1.0 guard matching
+    similarity._train_centroids._norm."""
+    ss = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+        f"i -> {v}[i]::DOUBLE * {v}[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+    return f"(CASE WHEN sqrt({ss}) = 0 THEN 1.0 ELSE sqrt({ss}) END)"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return f"{_duck_dot(a, b)} / (sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)}))"
+
+
+def _lsh_oracle_sql(dim: int = 64, k: int = 5, n_bits: int = 6, n_tables: int = 4,
+                    seed: int = 42) -> str:
+    """Exact replica of operators.similarity.lsh_topk: regenerate the seeded
+    hyperplanes as DOUBLE[] literals (repr round-trips doubles exactly) and
+    replicate bucket bits -> band equi-join -> exact-cosine re-rank."""
+    from gtfsrt2lc_spark.operators.similarity import _hyperplanes
+
+    tables = _hyperplanes(dim, n_bits, n_tables, seed)
+    vals = ",\n                ".join(
+        f"({t}, {b}, [{', '.join(repr(x) for x in tables[t][b])}]::DOUBLE[])"
+        for t in range(n_tables)
+        for b in range(n_bits)
+    )
+    return f"""
+        WITH planes(table_id, bit_idx, plane) AS (VALUES
+                {vals}),
+        b AS (
+            SELECT e.vec_id, p.table_id,
+                   string_agg(CASE WHEN {_duck_dot('e.embedding', 'p.plane')} >= 0
+                                   THEN '1' ELSE '0' END, '' ORDER BY p.bit_idx) AS bucket
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id, p.table_id
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+            FROM b q JOIN b c ON q.table_id = c.table_id AND q.bucket = c.bucket
+            WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.vec_id,
+                   ROUND({_duck_cos('qe.embedding', 'ce.embedding')}, 6) AS cos
+            FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                      JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        )
+        SELECT query_id, vec_id, cos, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _ivf_oracle_sql(k: int = 5, n_cells: int = 8, n_probe: int = 4,
+                    sample_n: int = 256, iters: int = 10, seed: int = 42) -> str:
+    """Exact replica of operators.similarity.ivf_topk, k-means training
+    included: the seeded init permutation is data-independent (sample is
+    exactly sample_n rows at every SF), and each of the `iters` Lloyd
+    iterations is unrolled as a CTE pair that reproduces the Python trainer's
+    float accumulation order (fold in sample order; normalize the per-cell
+    SUM vector, not the mean — matching _train_centroids bit for bit)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    idx = list(range(sample_n))
+    rng.shuffle(idx)
+    init_vals = ", ".join(f"({c}, {r})" for c, r in enumerate(idx[:n_cells]))
+
+    parts = [f"""
+        WITH sample AS MATERIALIZED (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn, vec_id AS sid,
+                   list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {sample_n})
+        ),
+        cent0 AS MATERIALIZED (
+            SELECT i.cell, list_transform(s.v, x -> x / {_duck_norm('s.v')}) AS cv
+            FROM (VALUES {init_vals}) i(cell, rn) JOIN sample s USING (rn)
+        )"""]
+    for t in range(iters):
+        parts.append(f""",
+        asg{t} AS (
+            SELECT s.rn, s.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.rn
+                       ORDER BY {_duck_dot('s.v', 'c.cv')} DESC, c.cell ASC) AS rnk
+            FROM sample s CROSS JOIN cent{t} c
+        ),
+        sums{t} AS (
+            SELECT a.cell, d.i AS dim,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                       list(list_extract(a.v, d.i) ORDER BY a.rn)),
+                       (acc, x) -> acc + x) AS s
+            FROM asg{t} a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+            WHERE a.rnk = 1
+            GROUP BY a.cell, d.i
+        ),
+        sv{t} AS (SELECT cell, list(s ORDER BY dim) AS sums FROM sums{t} GROUP BY cell),
+        cent{t + 1} AS MATERIALIZED (
+            SELECT c0.cell,
+                   CASE WHEN sv.sums IS NULL THEN c0.cv
+                        ELSE list_transform(sv.sums, x -> x / {_duck_norm('sv.sums')}) END AS cv
+            FROM cent{t} c0 LEFT JOIN sv{t} sv USING (cell)
+        )""")
+    parts.append(f""",
+        casg AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_duck_dot('e.embedding', 'c.cv')}, 9) DESC,
+                                c.cell DESC) AS rnk
+            FROM embeddings e CROSS JOIN cent{iters} c
+        ),
+        corp AS (SELECT vec_id, embedding, cell FROM casg WHERE rnk = 1),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS q_vec, cell
+            FROM casg WHERE vec_id < 3 AND rnk <= {n_probe}
+        ),
+        scored AS (
+            SELECT p.query_id, c.vec_id,
+                   ROUND({_duck_cos('p.q_vec', 'c.embedding')}, 6) AS cos
+            FROM probes p JOIN corp c USING (cell)
+            WHERE c.vec_id <> p.query_id
+        )
+        SELECT query_id, vec_id, cos, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """)
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     th_text = _token_hashes_sql("text")
     sql = {
@@ -925,7 +1071,8 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
                 FROM marked
             )
-            SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+            SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
             FROM sess GROUP BY user_id
         """,
         "stratified_sample": f"""
@@ -1045,7 +1192,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    COUNT(json_extract_string(props, '$.k')) AS n_k,
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
@@ -1112,8 +1259,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": rf"""
             SELECT lang,
-                   SUM(len({_TOKENS_SQL.format(s='text')})) AS ws_tokens,
-                   SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+                   CAST(SUM(len({_TOKENS_SQL.format(s='text')})) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang
         """,
@@ -1170,6 +1317,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
         """,
+        "ann_lsh_topk": _lsh_oracle_sql(),
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "embedding_neardup": """
             WITH scored AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

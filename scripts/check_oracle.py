@@ -25,6 +25,36 @@ TABLES = [
 ]
 
 
+# Spark simpleString -> acceptable Arrow type names from DuckDB. The driver's
+# value hash is type-sensitive (round-1 lesson: DuckDB HUGEINT sums vs Spark
+# BIGINT hashed differently despite equal values), so we flag dtype skew too.
+_SPARK_TO_ARROW = {
+    "bigint": {"int64"},
+    "int": {"int32", "int64"},
+    "smallint": {"int16"},
+    "tinyint": {"int8"},
+    "double": {"double", "float64"},
+    "float": {"float", "float32"},
+    "string": {"string", "large_string"},
+    "boolean": {"bool"},
+    "date": {"date32", "date32[day]"},
+}
+
+
+def _type_skew(sdf, arrow_schema):
+    """Return [(col, spark_type, duck_arrow_type)] for scalar-type mismatches."""
+    duck = {f.name: str(f.type) for f in arrow_schema}
+    out = []
+    for f in sdf.schema.fields:
+        st = f.dataType.simpleString()
+        at = duck.get(f.name)
+        if at is None or st not in _SPARK_TO_ARROW:
+            continue  # missing col caught by COLS DIFF; complex types skipped
+        if at not in _SPARK_TO_ARROW[st]:
+            out.append((f.name, st, at))
+    return out
+
+
 def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -67,12 +97,17 @@ def main() -> int:
             print(f"[rows-only ] {name}: {len(srows)} rows (no oracle)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = list(tbl.schema.names)
+            drows = [tuple(r.values()) for r in tbl.to_pylist()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"[DUCK ERROR ] {name}: {e}")
+            continue
+        skew = _type_skew(sdf, tbl.schema)
+        if skew:
+            failures.append(name)
+            print(f"[TYPE SKEW  ] {name}: {skew}")
             continue
         sc, sn = _normalize(scols, srows)
         dc, dn = _normalize(dcols, drows)

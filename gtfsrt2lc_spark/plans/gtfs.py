@@ -23,6 +23,7 @@ embarrassingly parallel across update rows.
 
 from __future__ import annotations
 
+import json
 from datetime import datetime, timezone
 
 import pandas as pd
@@ -543,11 +544,36 @@ class HistoryStore:
     (ref :686-696), sub-key = service date, value = (depDelay, arrDelay,
     type). ``filter_new`` anti-joins unchanged connections; ``commit``
     upserts the new states. Second identical run emits 0 (ref test :156).
+
+    Layout — bucketed generations behind an atomic pointer (the reference
+    does LevelDB point upserts; the Spark-native analog is bucket-granular
+    rewrite instead of full-store rewrite):
+
+    .. code-block:: text
+
+        <path>/_CURRENT                 # name of the live manifest (atomic rename)
+        <path>/manifest-<seq>.json      # {"n_buckets", "seq", "gens": {gen: [buckets]}}
+        <path>/data/gen-<seq>/bucket=N/ # parquet, partitioned by bucket
+
+    ``commit`` rewrites ONLY buckets containing fresh keys (O(changed
+    buckets), not O(total history) — each key's bucket is
+    ``pmod(xxhash64(rule_key), n_buckets)``), writes them to a brand-new
+    generation directory, then flips the manifest pointer. A crash at any
+    point leaves the previous manifest live and intact; orphan generation
+    dirs are garbage-collected by the next successful commit. All path
+    operations go through the Hadoop FileSystem API so the protocol works
+    on HDFS/S3A, not just the local filesystem.
     """
 
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    _SCHEMA = (
+        "rule_key string, service_day string, departure_delay bigint, "
+        "arrival_delay bigint, type string"
+    )
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 64) -> None:
         self.spark = spark
-        self.path = path
+        self.path = path.rstrip("/")
+        self.n_buckets = n_buckets
 
     @staticmethod
     def rule_key(conns: DataFrame) -> DataFrame:
@@ -575,15 +601,43 @@ class HistoryStore:
         )
         return conns.withColumn("rule_key", key)
 
-    def _read(self) -> DataFrame:
-        schema = (
-            "rule_key string, service_day string, departure_delay bigint, "
-            "arrival_delay bigint, type string"
-        )
-        try:
-            return self.spark.read.schema(schema).parquet(self.path)
-        except Exception:  # noqa: BLE001
+    def _bucket(self, rule_key):
+        return F.pmod(F.xxhash64(rule_key), F.lit(self.n_buckets)).cast("int")
+
+    def _manifest(self) -> dict:
+        """Live manifest, or a fresh empty one. A missing ``_CURRENT`` means
+        an empty store; any OTHER failure (unreadable manifest, missing data
+        the pointer references) raises — a half-written store must surface,
+        not silently reset all differential history (every connection would
+        re-emit on the next poll)."""
+        from gtfsrt2lc_spark.functions import hadoop_fs as hfs
+
+        pointer = f"{self.path}/_CURRENT"
+        if not hfs.exists(self.spark, pointer):
+            return {"n_buckets": self.n_buckets, "seq": 0, "gens": {}}
+        name = hfs.read_text(self.spark, pointer).strip()
+        m = json.loads(hfs.read_text(self.spark, f"{self.path}/{name}"))
+        self.n_buckets = int(m["n_buckets"])  # stay consistent across commits
+        return m
+
+    def _read(self, manifest: dict | None = None, buckets: list[int] | None = None) -> DataFrame:
+        """Current state, optionally restricted to a bucket subset (bucket is
+        a partition column, so the restriction prunes files, not just rows)."""
+        m = manifest if manifest is not None else self._manifest()
+        schema = self._SCHEMA + ", bucket int"
+        parts = []
+        for gen, live in m["gens"].items():
+            want = live if buckets is None else sorted(set(live) & set(buckets))
+            if not want:
+                continue
+            df = self.spark.read.schema(schema).parquet(f"{self.path}/data/{gen}")
+            parts.append(df.where(F.col("bucket").isin(want)))
+        if not parts:
             return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def filter_new(self, conns: DataFrame) -> DataFrame:
         """Keep connections that are new or changed vs the store."""
@@ -603,12 +657,30 @@ class HistoryStore:
         )
         return fresh.drop("_h_dep", "_h_arr", "_h_type")
 
-    def commit(self, fresh_keyed: DataFrame) -> None:
-        """Upsert: latest state per (rule_key, service_day)."""
-        new_states = fresh_keyed.select(
-            "rule_key", "service_day", "departure_delay", "arrival_delay", "type"
-        ).dropDuplicates(["rule_key", "service_day"])
-        old = self._read()
+    def commit(self, fresh_keyed: DataFrame, vacuum: bool = True) -> None:
+        """Upsert: latest state per (rule_key, service_day).
+
+        Rewrites only the buckets that contain fresh keys: untouched buckets'
+        files are never read or rewritten. The new generation is written to a
+        never-before-used directory FIRST; the manifest pointer flips LAST
+        (atomic rename), so a crash anywhere leaves the previous store live.
+        """
+        from gtfsrt2lc_spark.functions import hadoop_fs as hfs
+
+        m = self._manifest()
+        new_states = (
+            fresh_keyed.select(
+                "rule_key", "service_day", "departure_delay", "arrival_delay", "type"
+            )
+            .dropDuplicates(["rule_key", "service_day"])
+            .withColumn("bucket", self._bucket(F.col("rule_key")))
+        )
+        affected = sorted(
+            r["bucket"] for r in new_states.select("bucket").distinct().collect()
+        )  # <= n_buckets rows — bounded driver collect
+        if not affected:
+            return
+        old = self._read(m, buckets=affected)
         merged = new_states.unionByName(
             old.join(
                 new_states.select("rule_key", "service_day"),
@@ -616,7 +688,32 @@ class HistoryStore:
                 "left_anti",
             )
         )
-        tmp = self.path + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.path)
+        seq = int(m["seq"]) + 1
+        gen = f"gen-{seq:06d}"
+        merged.write.partitionBy("bucket").parquet(f"{self.path}/data/{gen}")
+
+        moved = set(affected)
+        gens = {
+            g: [b for b in bs if b not in moved] for g, bs in m["gens"].items()
+        }
+        gens = {g: bs for g, bs in gens.items() if bs}
+        gens[gen] = affected
+        name = f"manifest-{seq:06d}.json"
+        hfs.write_text_atomic(
+            self.spark,
+            f"{self.path}/{name}",
+            json.dumps({"n_buckets": self.n_buckets, "seq": seq, "gens": gens}),
+        )
+        hfs.write_text_atomic(self.spark, f"{self.path}/_CURRENT", name)
+        if vacuum:
+            self._vacuum(gens)
+
+    def _vacuum(self, live_gens: dict) -> None:
+        """Drop generation dirs and manifests no longer referenced. Safe
+        because readers resolve paths through the already-flipped pointer;
+        the sequential poll loop has no concurrent reader mid-plan."""
+        from gtfsrt2lc_spark.functions import hadoop_fs as hfs
+
+        for gen in hfs.list_dirs(self.spark, f"{self.path}/data"):
+            if gen not in live_gens:
+                hfs.delete(self.spark, f"{self.path}/data/{gen}")

@@ -18,6 +18,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gtfsrt2lc_spark.functions import hadoop_fs
+
 BINARYFILE_SCHEMA = (
     "path string, modificationTime timestamp, length bigint, content binary"
 )
@@ -83,8 +85,12 @@ def stream_feeds_to_connections(
             # states were already committed (crash between commit and the
             # streaming checkpoint), filter_new yields 0 — skipping the
             # overwrite preserves the previously written output instead of
-            # erasing it with an empty frame
-            already_written = os.path.exists(os.path.join(target, "_SUCCESS"))
+            # erasing it with an empty frame. The existence check goes
+            # through the Hadoop FileSystem API so it also holds when
+            # out_dir is HDFS/S3, not just a driver-local path.
+            already_written = hadoop_fs.exists(
+                spark, os.path.join(target, "_SUCCESS")
+            )
             if n_fresh > 0 or not already_written:
                 fresh.select(*_OUT_COLS).write.mode("overwrite").parquet(target)
             if n_fresh > 0:  # also: no whole-store rewrite for no-op polls

@@ -117,6 +117,97 @@ def test_history_idempotence(spark, pipeline, tmp_path):
     assert store.filter_new(pipeline.connections(updates)).count() == 0
 
 
+_STATE_SCHEMA = (
+    "rule_key string, service_day string, departure_delay bigint, "
+    "arrival_delay bigint, type string"
+)
+
+
+def _states(spark, keys, day="20240115", dep=60, arr=60, typ="Connection"):
+    return spark.createDataFrame(
+        [(k, day, dep, arr, typ) for k in keys], _STATE_SCHEMA
+    )
+
+
+def _data_files(root):
+    import pathlib
+
+    return {
+        str(p): p.read_bytes()
+        for p in pathlib.Path(root).rglob("*.parquet")
+        if p.is_file()
+    }
+
+
+def test_history_commit_is_bucket_granular(spark, tmp_path):
+    """A commit with disjoint keys never touches existing files: new state
+    lands in a brand-new generation dir holding ONLY the affected buckets,
+    and every pre-existing parquet file stays byte-identical (the O(changed
+    buckets) rewrite contract, vs round-1's O(total history))."""
+    root = str(tmp_path / "hist")
+    store = HistoryStore(spark, root, n_buckets=8)
+    store.commit(_states(spark, [f"a{i}" for i in range(20)]))
+    before = _data_files(root)
+    assert before
+
+    store.commit(_states(spark, [f"b{i}" for i in range(5)], dep=120))
+    after = _data_files(root)
+    for path, blob in before.items():
+        assert path in after, f"pre-existing file removed: {path}"
+        assert after[path] == blob, f"pre-existing file rewritten: {path}"
+
+    # the new generation contains exactly the buckets the b-keys hash to
+    m = store._manifest()
+    gen2 = f"gen-{m['seq']:06d}"
+    b_buckets = {
+        r["bucket"]
+        for r in _states(spark, [f"b{i}" for i in range(5)])
+        .select(store._bucket(F.col("rule_key")).alias("bucket"))
+        .distinct()
+        .collect()
+    }
+    assert set(m["gens"][gen2]) == b_buckets
+    assert store._read().count() == 25
+
+
+def test_history_upsert_and_vacuum(spark, tmp_path):
+    """Re-committing a key supersedes its old state; fully-superseded
+    generations are garbage-collected; an orphan generation dir (crash after
+    data write, before pointer flip) is invisible to readers and cleaned by
+    the next commit."""
+    import pathlib
+
+    root = str(tmp_path / "hist")
+    store = HistoryStore(spark, root, n_buckets=4)
+    store.commit(_states(spark, ["k1", "k2"], dep=10))
+    store.commit(_states(spark, ["k1", "k2"], dep=99))  # supersede everything
+    rows = {r["rule_key"]: r["departure_delay"] for r in store._read().collect()}
+    assert rows == {"k1": 99, "k2": 99}
+    gens = [p.name for p in (pathlib.Path(root) / "data").iterdir()]
+    assert gens == ["gen-000002"]  # gen-000001 fully superseded -> vacuumed
+
+    # crash simulation: orphan generation written but pointer never flipped
+    orphan = pathlib.Path(root) / "data" / "gen-999999"
+    _states(spark, ["junk"]).withColumn(
+        "bucket", store._bucket(F.col("rule_key"))
+    ).write.partitionBy("bucket").parquet(str(orphan))
+    assert store._read().count() == 2  # reader ignores the orphan
+    store.commit(_states(spark, ["k3"], dep=5))
+    assert not orphan.exists()  # next commit vacuums it
+    assert store._read().count() == 3
+
+
+def test_history_corruption_surfaces(spark, tmp_path):
+    """A pointer referencing a missing manifest raises instead of silently
+    resetting differential history (which would re-emit every connection)."""
+    root = str(tmp_path / "hist")
+    store = HistoryStore(spark, root, n_buckets=4)
+    store.commit(_states(spark, ["k1"]))
+    (tmp_path / "hist" / "_CURRENT").write_text("manifest-999999.json")
+    with pytest.raises(Exception):
+        store._read()
+
+
 def test_quads_shape(spark, pipeline):
     """12 RDF triples per connection with the reference predicates (S10)."""
     from gtfsrt2lc_spark.sources.gtfs_serializers import LC, connections_to_quads

@@ -76,7 +76,11 @@ def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 def _with_minhash_bands(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int, bands: int, seed: int
 ) -> DataFrame:
-    """Explode token hashes -> flat per-permutation min aggregates.
+    """Explode token hashes -> flat per-permutation min aggregates ->
+    NARROW (doc, band_id, band_val) band rows. Deliberately payload-free:
+    at 100 TB the band equi-join replicates every row x bands, so nothing
+    but the 3 key columns may ride it (token sets join back to the deduped
+    candidate pairs in neardup_pairs_minhash, once per side).
 
     The posexplode+min shape (SURVEY.md §2.9) instead of nested
     aggregate-in-transform HOFs: identical signature values, but a small
@@ -89,7 +93,6 @@ def _with_minhash_bands(
         F.explode(F.array_distinct(token_hashes(F.col(text_col)))).alias("h"),
     )
     sigs = ex.groupBy("doc").agg(
-        F.collect_set("h").alias("toks"),
         *[
             F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(2_147_483_647)).alias(f"s{i}")
             for i, (a, b) in enumerate(perms)
@@ -105,9 +108,9 @@ def _with_minhash_bands(
         for bi in range(bands)
     ]
     return sigs.select(
-        "doc", "toks", F.explode(F.array(*bandcols)).alias("band")
+        "doc", F.explode(F.array(*bandcols)).alias("band")
     ).select(
-        "doc", "toks", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val")
+        "doc", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val")
     )
 
 
@@ -126,18 +129,31 @@ def neardup_pairs_minhash(
     verifies, so the output has no false positives and misses only pairs the
     banding never buckets together (tuned: 16 bands of 2 at t=0.8 -> miss
     probability < 1e-6 for J>=0.9).
+
+    Shuffle discipline: the band self-join replicates every doc x bands, so
+    it runs on the NARROW (doc, band_id, band_val) frame only; the token-set
+    payload joins back to the already-deduped candidate pairs, shuffling each
+    doc's token set at most once per side instead of x bands. The set itself
+    is array_distinct(token_hashes(text)) — same elements collect_set over
+    the exploded hashes would yield, but computed as a narrow projection with
+    no aggregation. Verified identical output by the full-arithmetic
+    `minhash_neardup` oracle and a plan-shape guard (tests/test_dedup.py).
     """
     b = _with_minhash_bands(df, id_col, text_col, n_hashes, bands, seed)
-    left = b.select(
-        F.col("doc").alias("doc_a"), F.col("toks").alias("toks_a"), "band_id", "band_val"
-    )
-    right = b.select(
-        F.col("doc").alias("doc_b"), F.col("toks").alias("toks_b"), "band_id", "band_val"
-    )
     cand = (
-        left.join(right, ["band_id", "band_val"])
+        b.select(F.col("doc").alias("doc_a"), "band_id", "band_val")
+        .join(b.select(F.col("doc").alias("doc_b"), "band_id", "band_val"),
+              ["band_id", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(token_hashes(F.col(text_col))).alias("toks"),
+    )
+    cand = (
+        cand.join(toks.select(F.col("doc").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a")
+        .join(toks.select(F.col("doc").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
@@ -209,6 +225,11 @@ def neardup_pairs_embedding(
     splits hot buckets, and no pair outside a shared bucket is ever scored.
     Both paths score candidates with the same fold, so LSH output is a
     recall-bounded subset of exact output with identical cos values.
+
+    Shuffle discipline (lsh path): the bucket self-join replicates every row
+    x n_tables, so it runs on the NARROW (id, table_id, bucket) frame; the
+    vectors join back to the deduped candidate pairs, shuffling each vector
+    at most once per side instead of x n_tables.
     """
     from gtfsrt2lc_spark.operators.similarity import _hyperplanes, _bucket_key, cosine
 
@@ -226,15 +247,20 @@ def neardup_pairs_embedding(
                 for t in range(len(tables))
             ]
         )
-        hashed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(buckets).alias("b")).select(
-            "id", "v", F.col("b.table_id").alias("table_id"), F.col("b.bucket").alias("bucket")
+        hashed = df.select(F.col(id_col).alias("id"), F.explode(buckets).alias("b")).select(
+            "id", F.col("b.table_id").alias("table_id"), F.col("b.bucket").alias("bucket")
         )
-        left = hashed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "table_id", "bucket")
-        right = hashed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "table_id", "bucket")
         cand = (
-            left.join(right, ["table_id", "bucket"])
+            hashed.select(F.col("id").alias("id_a"), "table_id", "bucket")
+            .join(hashed.select(F.col("id").alias("id_b"), "table_id", "bucket"),
+                  ["table_id", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
+        )
+        vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        cand = (
+            cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+            .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
         )
     else:
         raise ValueError(f"unknown method {method!r}")

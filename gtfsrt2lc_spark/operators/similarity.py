@@ -109,6 +109,12 @@ def lsh_topk(
     At 100 TB the bucket join replaces the full scan: corpus is hashed once
     per table (narrow), the join key is (table, bucket) so the shuffle is
     bounded by bucket sizes, and AQE splits skewed buckets.
+
+    Shuffle discipline: the bucket join replicates every corpus row
+    x n_tables, so it runs on the NARROW (id, table_id, bucket) frames; the
+    vectors join back to the deduped (q_id, c_id) candidate pairs, so each
+    corpus vector shuffles at most once instead of x n_tables (queries are
+    small and broadcast).
     """
     tables = _hyperplanes(dim, n_bits, n_tables, seed)
 
@@ -122,20 +128,25 @@ def lsh_topk(
         )
         return df.select(
             F.col(id_col).alias(f"{side}_id"),
-            F.col(vec_col).alias(f"{side}_vec"),
             F.explode(buckets).alias("b"),
         ).select(
-            f"{side}_id", f"{side}_vec", F.col("b.table_id").alias("table_id"), F.col("b.bucket").alias("bucket")
+            f"{side}_id", F.col("b.table_id").alias("table_id"), F.col("b.bucket").alias("bucket")
         )
 
     c = with_buckets(corpus, "c")
     q = with_buckets(queries, "q")
     cand = (
-        c.join(q, ["table_id", "bucket"])
+        c.join(F.broadcast(q), ["table_id", "bucket"])
         .where(F.col("c_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "c_id"])
     )
-    scored = cand.withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    c_vecs = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    q_vecs = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.join(c_vecs, "c_id")
+        .join(F.broadcast(q_vecs), "q_id")
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -118,3 +118,54 @@ def test_latest_by_key_unique_order_never_shuffles_payload(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "html" not in line, line
+
+
+def _band_exchange_columns(df, band_key: str) -> list[list[str]]:
+    """Column names flowing through each Exchange partitioned on band_key,
+    parsed from the formatted explain (each Exchange node lists
+    ``Input [n]: [col#id, ...]`` and ``Arguments: hashpartitioning(...)``)."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    out = []
+    for block in buf.getvalue().split("\n\n"):
+        lines = block.strip().splitlines()
+        if not lines or "Exchange" not in lines[0]:
+            continue
+        args = next((ln for ln in lines if ln.startswith("Arguments:")), "")
+        inp = next((ln for ln in lines if ln.startswith("Input")), "")
+        if band_key in args:
+            out.append(re.findall(r"[\[, ]([A-Za-z_][A-Za-z0-9_]*)#", inp))
+    return out
+
+
+def test_minhash_band_join_shuffles_no_payload(docs):
+    """Plan-shape guard for the LSH scale path: the band self-join replicates
+    every doc x bands, so no token-set column may ride a band-keyed Exchange —
+    token sets join back to the deduped candidate pairs only."""
+    pairs = neardup_pairs_minhash(docs, "doc_id", "text", jaccard_threshold=0.7)
+    exchanges = _band_exchange_columns(pairs, "band_val")
+    assert exchanges, "expected a band-keyed Exchange in the plan"
+    for cols in exchanges:
+        assert not any(c.startswith("toks") for c in cols), cols
+
+
+def test_embedding_bucket_join_shuffles_no_vectors(spark):
+    """Same guard for embedding near-dup: no vector column below the
+    (table_id, bucket) exchange."""
+    from gtfsrt2lc_spark.operators.dedup import neardup_pairs_embedding
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, -1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = neardup_pairs_embedding(df, cos_threshold=0.5, method="lsh", dim=4,
+                                    n_bits=2, n_tables=2)
+    exchanges = _band_exchange_columns(pairs, "bucket")
+    assert exchanges, "expected a bucket-keyed Exchange in the plan"
+    for cols in exchanges:
+        assert not any(c in ("v", "v_a", "v_b", "embedding") for c in cols), cols

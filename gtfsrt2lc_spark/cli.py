@@ -3,26 +3,29 @@
 Two subcommands mirroring the reference CLIs:
 
 ``rt2lc`` (ref bin/gtfsrt2lc.js:9-19 option surface)
-    -r/--real-time   path/glob to binary GTFS-RT feed file(s)
-    -s/--static      path to static GTFS: a directory of .txt files or a .zip
+    -r/--real-time   URL, path, or glob to binary GTFS-RT feed file(s)
+    -s/--static      URL or path to static GTFS: a dir of .txt files or a .zip
     -u/--uris-template  JSON file with RFC-6570 URI templates (+ resolve map)
+    -H/--headers     JSON string of extra HTTP headers for URL inputs
+                     (ref bin/gtfsrt2lc.js:13,50-58)
     -f/--format      json | jsonld | csv | turtle | ntriples  (default json)
     -S/--store       MemStore (broadcast dims) | LevelStore (shuffle joins)
     -g/--grep        prune static tables to RT-updated trips (semi-join; the
                      Spark analog of the reference's grep scan,
                      lib/GtfsIndex.js:264-307)
     -d/--deduce      deduce missing trip_ids (ref lib/Gtfsrt2LC.js:323-394)
-    -H/--history     path to a parquet history store for differential updates
+    --history        path to a parquet history store for differential updates
+                     (ref ``-h <history>``; argparse reserves ``-h``)
     -o/--output      output directory (default ./out); stdout timing logs
                      mirror bin/gtfsrt2lc.js:86,94
 
 ``rt2json`` (ref bin/gtfsrt2json.js)
-    -r/--real-time   feed path -> decoded FeedMessage JSON on stdout
+    -r/--real-time   feed URL/path -> decoded FeedMessage JSON on stdout
 
-HTTP ingestion is out-of-engine by design (SURVEY.md S1): fetch the feed to a
-file first. The reference's ``-H/--headers`` option therefore has no analog;
-its ``-h <history>`` flag maps to ``-H/--history`` here (argparse reserves
-``-h`` for help).
+HTTP(S) inputs are fetched DRIVER-side (stdlib urllib, <=10 redirects, custom
+headers, gzip/deflate decompression — sources/http_fetch.py, mirroring
+lib/Gtfsrt2LC.js:270-321 and lib/GtfsIndex.js:24-72) into a local staging
+file; the distributed plan downstream is identical to the file path.
 """
 
 from __future__ import annotations
@@ -42,9 +45,17 @@ from pyspark.sql import functions as F
 STATIC_TABLES = ["stops", "routes", "trips", "stop_times", "calendar"]
 
 
-def _read_static(spark: SparkSession, path: str) -> dict[str, DataFrame]:
-    """Directory of GTFS .txt files, or a .zip (extracted driver-side — the
-    reference stages zips the same way, lib/GtfsIndex.js:20-48)."""
+def _read_static(
+    spark: SparkSession, path: str, headers: dict[str, str] | None = None
+) -> dict[str, DataFrame]:
+    """URL or directory of GTFS .txt files, or a .zip (extracted driver-side —
+    the reference stages zips the same way, lib/GtfsIndex.js:20-72; URL
+    downloads are always zips, lib/GtfsIndex.js:50-72)."""
+    from gtfsrt2lc_spark.sources.http_fetch import fetch_to_file, is_url
+
+    if is_url(path):
+        staged = os.path.join(tempfile.mkdtemp(prefix="gtfs_dl_"), "gtfs.zip")
+        path = fetch_to_file(path, staged, headers)
     if path.endswith(".zip"):
         tmp = tempfile.mkdtemp(prefix="gtfs_static_")
         with zipfile.ZipFile(path) as z:
@@ -60,14 +71,37 @@ def _read_static(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     return out
 
 
-def _read_feed(spark: SparkSession, path: str) -> DataFrame:
-    """Binary feed file(s) -> one payload row per file (ref S1,
-    lib/Gtfsrt2LC.js:270-291 minus the HTTP half)."""
+def _read_feed(
+    spark: SparkSession, path: str, headers: dict[str, str] | None = None
+) -> DataFrame:
+    """Binary feed URL or file(s) -> one payload row per file (ref S1,
+    lib/Gtfsrt2LC.js:270-291; URLs staged driver-side with headers,
+    redirects, and gzip/deflate handling)."""
+    from gtfsrt2lc_spark.sources.http_fetch import fetch_to_file, is_url
+
+    if is_url(path):
+        staged = os.path.join(tempfile.mkdtemp(prefix="gtfsrt_dl_"), "feed.bin")
+        path = fetch_to_file(path, staged, headers)
     return (
         spark.read.format("binaryFile")
         .load(path)
         .select(F.col("content").alias("payload"))
     )
+
+
+def _parse_headers(raw: str | None) -> dict[str, str]:
+    """--headers JSON string -> dict (ref bin/gtfsrt2lc.js:50-58)."""
+    if not raw:
+        return {}
+    try:
+        h = json.loads(raw)
+        if not isinstance(h, dict):
+            raise ValueError("headers must be a JSON object")
+        return {str(k): str(v) for k, v in h.items()}
+    except (json.JSONDecodeError, ValueError) as e:
+        raise SystemExit(
+            "Please provide a valid JSON string for the extra HTTP headers"
+        ) from e
 
 
 def _write_json(conns: DataFrame, out: str) -> None:
@@ -123,9 +157,10 @@ def run_rt2lc(args: argparse.Namespace, spark: SparkSession) -> int:
         with open(args.uris_template) as f:
             uris = json.load(f)
 
+    headers = _parse_headers(args.headers)
     t0 = time.monotonic()
-    updates = decode_feed_df(_read_feed(spark, args.real_time))
-    static = _read_static(spark, args.static)
+    updates = decode_feed_df(_read_feed(spark, args.real_time, headers))
+    static = _read_static(spark, args.static, headers)
     if args.grep:
         # S6 grep analog: semi-join static facts down to the RT-updated trip
         # set before index build (lib/GtfsIndex.js:107-118,264-307). Under
@@ -151,11 +186,11 @@ def run_rt2lc(args: argparse.Namespace, spark: SparkSession) -> int:
     t_index = time.monotonic() - t0
     print(f"GTFS indexing process took {t_index * 1000:.0f} ms", file=sys.stderr)
 
-    as_of = (
-        datetime.fromisoformat(args.as_of).replace(tzinfo=timezone.utc)
-        if args.as_of
-        else None
-    )
+    as_of = None
+    if args.as_of:
+        dt = datetime.fromisoformat(args.as_of)
+        # offset-bearing inputs convert to UTC; naive inputs are taken as UTC
+        as_of = dt.astimezone(timezone.utc) if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
     pipe = Gtfsrt2LCPipeline(
         indexes,
         deduce=args.deduce,
@@ -201,9 +236,15 @@ def run_rt2lc(args: argparse.Namespace, spark: SparkSession) -> int:
 
 def run_rt2json(args: argparse.Namespace) -> int:
     from gtfsrt2lc_spark.functions.gtfsrt_proto import decode_feed
+    from gtfsrt2lc_spark.sources.http_fetch import fetch_bytes, is_url
 
-    with open(args.real_time, "rb") as f:
-        print(json.dumps(decode_feed(f.read()), default=str))
+    headers = _parse_headers(getattr(args, "headers", None))
+    if is_url(args.real_time):
+        data = fetch_bytes(args.real_time, headers)
+    else:
+        with open(args.real_time, "rb") as f:
+            data = f.read()
+    print(json.dumps(decode_feed(data), default=str))
     return 0
 
 
@@ -224,12 +265,14 @@ def build_parser() -> argparse.ArgumentParser:
     lc.add_argument("-S", "--store", default="MemStore", choices=["MemStore", "LevelStore"])
     lc.add_argument("-g", "--grep", action="store_true")
     lc.add_argument("-d", "--deduce", action="store_true")
-    lc.add_argument("-H", "--history")
+    lc.add_argument("-H", "--headers", help='extra HTTP headers as JSON, e.g. {"api-Key":"k"}')
+    lc.add_argument("--history", help="parquet history store for differential updates")
     lc.add_argument("-o", "--output", default="./out")
     lc.add_argument("--as-of", help="ISO timestamp pinning findTripStartDate (F4)")
 
     js = sub.add_parser("rt2json", help="decode a GTFS-RT feed to JSON (ref bin/gtfsrt2json.js)")
     js.add_argument("-r", "--real-time", required=True)
+    js.add_argument("-H", "--headers", help="extra HTTP headers as JSON")
     return p
 
 

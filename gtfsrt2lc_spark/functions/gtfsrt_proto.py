@@ -169,10 +169,22 @@ def _decode_trip_update(buf: bytes) -> dict:
 
 def decode_feed(data: bytes | None) -> dict:
     """FeedMessage bytes -> {header_ts, entities:[...]}. Total function:
-    malformed input -> empty feed (the engine's P2-style silent skip)."""
+    malformed input -> empty feed (the engine's P2-style silent skip).
+
+    Gzipped payloads (feed files stored compressed, or a pre-decompression
+    HTTP body) are sniffed by magic and gunzipped first — S2's file half
+    (lib/Gtfsrt2LC.js:298-320 handles the HTTP half). Safe sniff: 0x1f 0x8b
+    as a FeedMessage would be field 3 wiretype 7, which protobuf reserves."""
     out = {"header_ts": None, "entities": []}
     if not data:
         return out
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            data = gzip.decompress(data)
+        except OSError:
+            return out
     try:
         for f, _wt, v in _iter_fields(data):
             if f == 1:

@@ -95,9 +95,9 @@ def test_cli_csv_and_turtle_sidecars(staged, spark, tmp_path):
 
 def test_cli_history_second_run_emits_zero(staged, spark, tmp_path):
     hist = str(tmp_path / "history")
-    first = _run(staged, spark, tmp_path / "h1", "-f", "json", "-H", hist)
+    first = _run(staged, spark, tmp_path / "h1", "-f", "json", "--history", hist)
     assert len(first) > 0
-    second = _run(staged, spark, tmp_path / "h2", "-f", "json", "-H", hist)
+    second = _run(staged, spark, tmp_path / "h2", "-f", "json", "--history", hist)
     # ref test/gtfsrt2lc.test.js:156 — identical re-run emits 0
     assert len(second) == 0
 

@@ -105,6 +105,12 @@ def _parse_headers(raw: str | None) -> dict[str, str]:
 
 
 def _write_json(conns: DataFrame, out: str) -> None:
+    """NDJSON, one connection object per line. This IS the reference's json
+    format: lib/Gtfsrt2LC.js:263 pipes through ``JSONStream.stringify(false)``,
+    which per JSONStream's API separates elements with newlines and emits NO
+    array brackets (only argless ``stringify()`` wraps in ``[...]``). The one
+    divergence is distribution itself: many part files instead of one stream.
+    """
     iso = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
     obj = F.to_json(
         F.struct(

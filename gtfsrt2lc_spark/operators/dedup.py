@@ -42,14 +42,20 @@ def latest_by_key(
     row_number window being stable on (order_col desc) only when order values
     are unique — callers with possible ties should pass a composite order.
 
-    ``unique_order=True`` asserts (key, order_col) pairs are unique (true
-    for url + crawl timestamp) and switches to winner-agg + semi-join:
-    ``max(order)`` per key is map-side combinable over just two PRUNED
-    columns, so the wide payload (html bytes) NEVER shuffles — the window
-    form shuffles every byte of every row by key. The winner set is
-    (key, order) only: broadcastable when small, a narrow shuffle otherwise.
+    ``unique_order=True`` asserts (key, order_col) pairs are unique and
+    NON-NULL (both true for url + crawl timestamp) and switches to
+    winner-agg + semi-join: ``max(order)`` per key is map-side combinable
+    over just two PRUNED columns, so the wide payload (html bytes) NEVER
+    shuffles — the window form shuffles every byte of every row by key. The
+    winner set is (key, order) only: broadcastable when small, a narrow
+    shuffle otherwise.
     If the uniqueness assumption is violated, tied rows all survive (callers
     like the triple pipeline absorb that in their terminal (s,p,o) dedup).
+    NULL order contract (fast path only): max() ignores NULLs and the
+    semi-join never matches a NULL order value, so NULL-order rows lose to
+    any non-null sibling, and a key whose order values are ALL NULL loses
+    every row — unlike the window form, which would keep one arbitrary row.
+    Callers with nullable order columns must use the window path.
     """
     if unique_order:
         winners = df.groupBy(key).agg(F.max(order_col).alias(order_col))

@@ -40,6 +40,12 @@ def asof_join(
     clash = reserved & set(left.columns) | reserved & set(right.columns)
     if clash:
         raise ValueError(f"asof_join reserves column names {sorted(clash)}")
+    rcols_suffixed = {f"{c}{suffix}" for c in right.columns if c != on}
+    dup = rcols_suffixed & set(left.columns)
+    if dup:
+        raise ValueError(
+            f"asof_join suffix {suffix!r} collides with left columns {sorted(dup)}"
+        )
     # a NULL timestamp can never satisfy right_ts <= left_ts; dropping such
     # rows up front also keeps NULLS FIRST ordering from parking a null-ts
     # right payload at the start of every partition (where last(...,
@@ -102,6 +108,11 @@ def range_join_point(
     """
     if "_bucket" in left.columns or "_bucket" in right.columns:
         raise ValueError("range_join_point reserves the column name '_bucket'")
+    dup = {f"{c}{suffix}" for c in right.columns} & set(left.columns)
+    if dup:
+        raise ValueError(
+            f"range_join_point suffix {suffix!r} collides with left columns {sorted(dup)}"
+        )
     lcols = left.columns
     rcols = right.columns
     lb = left.withColumn(

@@ -350,9 +350,11 @@ class Gtfsrt2LCPipeline:
     def _deduce(self, updates: DataFrame) -> DataFrame:
         """Blocking key route_id; scoring filters direction/startTime(+24h)/
         calendar; last match wins (ref :323-394, last-wins at :376,380)."""
+        # No isEmpty() probe here: plan construction must stay lazy (a
+        # driver-side action per conversion serializes the plan build). When
+        # nt is empty the deduced frame is empty and the terminal left join
+        # is an identity; AQE collapses the empty-side join at runtime.
         nt = updates.where(F.col("trip_id").isNull() & F.col("route_id").isNotNull())
-        if nt.isEmpty():
-            return updates
         t = self._b(self.idx.trips.join(self.idx.first_stops, "trip_id"))
         cal = self._b(self.idx.calendar)
         cand = nt.drop("trip_id").join(

@@ -88,13 +88,28 @@ def run_incremental(
         part_stats.unpersist()
         return {"parts": 0, "n_docs": 0, "n_triples": 0, "wall_ms": 0}
 
-    triples = pipeline.triples(todo, with_part=True)
+    # Per-part triple counts observed ON the write (one aggregate expression
+    # per in-flight bucket — bounded by n_buckets) instead of re-reading all
+    # written triples afterwards: one fewer scan job per run, and no extra
+    # I/O at 100 TB. Metrics-only values, so observe's task-retry caveat is
+    # acceptable here.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    triples = pipeline.triples(todo, with_part=True).observe(
+        obs,
+        *[
+            F.sum((F.col("part_id") == p).cast("long")).alias(f"p_{p}")
+            for p in todo_parts
+        ],
+    )
     triples.write.mode("append").partitionBy("part_id").parquet(_triples_path(out_dir))
 
-    written = spark.read.parquet(_triples_path(out_dir)).where(
-        F.col("part_id").isin(todo_parts)
+    got = obs.get
+    tri_stats = spark.createDataFrame(
+        [(p, int(got[f"p_{p}"] or 0)) for p in todo_parts],
+        "part_id int, n_triples long",
     )
-    tri_stats = written.groupBy("part_id").agg(F.count("*").alias("n_triples"))
     wall_ms = int((time.monotonic() - t0) * 1000)
     manifest_rows = (
         part_stats.join(tri_stats, "part_id", "left")

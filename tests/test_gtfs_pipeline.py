@@ -91,6 +91,22 @@ def test_no_start_date_uses_findTripStartDate(spark, pipeline):
     assert all(r["service_day"] == G.SERVICE_DAY for r in rows)
 
 
+def test_plan_construction_is_lazy(spark, pipeline):
+    """Building the connections plan must trigger ZERO Spark jobs — a
+    mid-plan driver action (the old _deduce isEmpty probe) serializes plan
+    construction and costs one job per conversion."""
+    updates = decode_feed_df(G.spark_feed(spark, G.gap_feed()))
+    sc = spark.sparkContext
+    group = "plan-laziness-probe"
+    sc.setJobGroup(group, "plan construction only")
+    try:
+        conns = pipeline.connections(updates)
+        _ = conns.columns  # analysis only, no action
+        assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    finally:
+        sc.setJobGroup(None, None)
+
+
 def test_trip_deduction(spark, pipeline):
     """tripId-less updates resolve via route/direction/startTime/calendar,
     including the +24h rollover (:323-394)."""

@@ -717,6 +717,100 @@ def q_connected_components(spark, sf_dir):
     ).where(F.col("size") > 1)
 
 
+# repair recurrence fixture constants (shared by the Spark query and the
+# DuckDB oracle generator): a 40x40 (grp, seq) grid derived from event_id
+_REPAIR_DAY0 = 1_700_000_000
+_REPAIR_TS = _REPAIR_DAY0 + 15_000  # rows with dep_time < this are "facts"
+
+
+def q_repair_pass(spark, sf_dir):
+    """W4-W8 repair recurrence (checkUpdate, ref lib/Gtfsrt2LC.js:532-665) as
+    a driver-visible oracle row — the semantic core previously covered only
+    by pytest. Input: a deterministic 40-trip x 40-stop grid derived from
+    events.event_id (grp = id % 40, seq = id // 40) whose live-update fields
+    cycle through 8 cases hitting every branch: full info, W4 delay-from-time,
+    W5 time-from-delay, W6 missing departure, W7 fact-rewrite (retroactively
+    mutates the PREVIOUS stop's departure) and W7 prediction, and the W8
+    monotonicity repair. The REAL _check_update runs per group via
+    applyInPandas (the sanctioned Arrow stage); the oracle replays the same
+    recurrence as a DuckDB recursive CTE."""
+    import pandas as pd
+
+    from gtfsrt2lc_spark.plans.gtfs import _check_update
+
+    day0, ts_val = _REPAIR_DAY0, _REPAIR_TS
+
+    def _dur(total: int) -> str:
+        return f"{total // 3600}:{(total % 3600) // 60:02d}:{total % 60:02d}"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for grp, g in pdf.groupby("grp"):
+            seqs = sorted(int(s) for s in g["seq"])
+            n = len(seqs)
+            completed = []
+            for idx, seq in enumerate(seqs):
+                gi = int(grp)
+                d = 60 + 10 * ((gi * 3 + seq) % 5)
+                c = (gi + seq) % 8
+                sa = day0 + 600 * seq
+                sd = sa + 60
+                ld = lt = ad = at = None
+                if c == 0:
+                    ld, lt, ad, at = d, sd + d, d, sa + d
+                elif c == 1:  # W5: delays only
+                    ld, ad = d, d
+                elif c == 2:  # W4: times only
+                    lt, at = sd + d, sa + d
+                elif c == 3:  # W6: arrival delay only
+                    ad = d
+                elif c == 4:  # early departure, no arrival -> W7 fact/pred
+                    ld = -(300 + d)
+                elif c == 5:  # departure delay only -> W7
+                    ld = d
+                elif c == 6:  # nothing -> W6 else + W7; big delay late in the
+                    # trip so the following c=7 row exercises W8's inner
+                    # departure-rewrite sub-branch (arr repaired past dep)
+                    if seq >= 20:
+                        ld = 400 + d
+                else:  # c == 7: stale arrival time -> W8 repair
+                    ld, at = d, sa - 600
+                live = {
+                    "stop_id": str(seq), "stop_sequence": None,
+                    "arrival_delay": ad, "arrival_time": at,
+                    "departure_delay": ld, "departure_time": lt,
+                    "schedule_relationship": None,
+                }
+                st = {
+                    "stop_id": str(seq),
+                    "arrival_time": _dur(600 * seq),
+                    "departure_time": _dur(600 * seq + 60),
+                }
+                completed.append(
+                    _check_update(live, completed[-1] if completed else None,
+                                  st, idx, n, day0, ts_val)
+                )
+            for seq, cu in zip(seqs, completed):
+                out.append((int(grp), seq,
+                            int(cu["arr_delay"]), int(cu["arr_time"]),
+                            int(cu["dep_delay"]), int(cu["dep_time"])))
+        return pd.DataFrame(
+            out,
+            columns=["grp", "seq", "arr_delay", "arr_time", "dep_delay", "dep_time"],
+        )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1600)
+    base = ev.select(
+        (F.col("event_id") % 40).alias("grp"),
+        F.floor(F.col("event_id") / 40).cast("long").alias("seq"),
+    )
+    return base.groupBy("grp").applyInPandas(
+        run,
+        schema="grp bigint, seq bigint, arr_delay bigint, arr_time bigint, "
+               "dep_delay bigint, dep_time bigint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -778,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "svo_extract": q_svo_extract,
         "kg_pipeline_docs": q_kg_pipeline_docs,
         "connected_components": q_connected_components,
+        "repair_pass": q_repair_pass,
     }
 
 
@@ -960,6 +1055,155 @@ def _ivf_oracle_sql(k: int = 5, n_cells: int = 8, n_probe: int = 4,
         ) WHERE rank <= {k}
     """)
     return "".join(parts)
+
+
+def _repair_step_sql(src: str, has_prev: bool) -> str:
+    """One _check_update application in SQL (W4-W8, lib/Gtfsrt2LC.js:532-665).
+
+    ``src`` provides (grp, seq, n, ld, lt, ad0, at0, sa, sd, p_dd, p_dt);
+    returns a SELECT emitting the row's final (dd, dt, ad, at) plus the
+    retroactive-rewrite record for the PREVIOUS row (rewrote, p_dd_new,
+    p_dt_new) that the W7 fact branch produces. Stage names mirror the
+    Python: dd1/ad1 = W4, dt1/at1 = W5, dd2/dt2 = W6, *3 = W7, *4 = W8."""
+    hp = "TRUE" if has_prev else "FALSE"
+    return f"""
+        SELECT grp, seq, n, sa, sd,
+               CAST(dd4 AS BIGINT) AS dd, CAST(dt4 AS BIGINT) AS dt,
+               CAST(ad4 AS BIGINT) AS ad, CAST(at4 AS BIGINT) AS at,
+               rewrote, CAST(p_dd_new AS BIGINT) AS p_dd_new,
+               CAST(p_dt_new AS BIGINT) AS p_dt_new
+        FROM (
+          SELECT *,
+                 CASE WHEN w8 THEN pdd8 ELSE ad3 END AS ad4,
+                 CASE WHEN w8 THEN sa + pdd8 ELSE at3 END AS at4,
+                 CASE WHEN w8 AND sa + pdd8 > dt3 THEN pdd8 ELSE dd3 END AS dd4,
+                 CASE WHEN w8 AND sa + pdd8 > dt3 THEN sd + pdd8 ELSE dt3 END AS dt4
+          FROM (
+            SELECT *, ({hp} AND ep_dt > at3) AS w8, COALESCE(ep_dd, 0) AS pdd8
+            FROM (
+              SELECT *,
+                     CASE WHEN rewrote THEN p_dd_new ELSE p_dd END AS ep_dd,
+                     CASE WHEN rewrote THEN p_dt_new ELSE p_dt END AS ep_dt
+              FROM (
+                SELECT *,
+                       CASE WHEN NOT ha THEN
+                              CASE WHEN NOT {hp} THEN dd2
+                                   WHEN b1 THEN pdd
+                                   WHEN fact THEN dd2
+                                   ELSE pdd END
+                            ELSE ad1 END AS ad3,
+                       CASE WHEN NOT ha THEN
+                              CASE WHEN NOT {hp} THEN dt2
+                                   WHEN b1 THEN sa + pdd
+                                   WHEN fact THEN sa + dd2
+                                   ELSE sa + pdd END
+                            ELSE at1 END AS at3,
+                       CASE WHEN NOT ha AND {hp} AND NOT b1 AND NOT fact
+                            THEN pdd ELSE dd2 END AS dd3,
+                       CASE WHEN NOT ha AND {hp} AND NOT b1 AND NOT fact
+                            THEN sd + pdd ELSE dt2 END AS dt3,
+                       (NOT ha AND {hp} AND NOT b1 AND fact) AS rewrote,
+                       dd2 AS p_dd_new,
+                       p_dt - pdd + dd2 AS p_dt_new
+                FROM (
+                  SELECT *, (sa + pdd <= dt2) AS b1,
+                         (dt2 < {_REPAIR_TS}) AS fact
+                  FROM (
+                    SELECT *,
+                           CASE WHEN NOT hd THEN
+                                  CASE WHEN seq < n - 1 AND ha
+                                       THEN COALESCE(ad1, 0) ELSE 0 END
+                                ELSE dd1 END AS dd2,
+                           CASE WHEN NOT hd THEN
+                                  CASE WHEN seq < n - 1 AND ha
+                                       THEN sd + COALESCE(ad1, 0) ELSE sd END
+                                ELSE dt1 END AS dt2,
+                           COALESCE(p_dd, 0) AS pdd
+                    FROM (
+                      SELECT *,
+                             CASE WHEN hd AND (lt IS NULL OR lt = 0)
+                                  THEN sd + COALESCE(dd1, 0) ELSE lt END AS dt1,
+                             CASE WHEN ha AND (at0 IS NULL OR at0 = 0)
+                                  THEN sa + COALESCE(ad1, 0) ELSE at0 END AS at1
+                      FROM (
+                        SELECT *,
+                               CASE WHEN hd AND lt IS NOT NULL AND lt <> 0 AND ld IS NULL
+                                    THEN lt - sd ELSE ld END AS dd1,
+                               CASE WHEN ha AND at0 IS NOT NULL AND at0 <> 0 AND ad0 IS NULL
+                                    THEN at0 - sa ELSE ad0 END AS ad1
+                        FROM (
+                          SELECT *,
+                                 ((ld IS NOT NULL) OR (lt IS NOT NULL AND lt <> 0)) AS hd,
+                                 ((ad0 IS NOT NULL) OR (at0 IS NOT NULL AND at0 <> 0)) AS ha
+                          FROM {src} _base
+                        ) _s0
+                      ) _s1
+                    ) _s2
+                  ) _s3
+                ) _s4
+              ) _s5
+            ) _s6
+          ) _s7
+        ) _s8
+    """
+
+
+def _repair_oracle_sql() -> str:
+    """Recursive-CTE replay of q_repair_pass: same 40x40 grid from event_id,
+    one _repair_step_sql application per recursion level, successor fact
+    rewrites applied to each row's departure via LEAD at the end."""
+    d0 = _REPAIR_DAY0
+    # field synthesis (d, c, sa, sd and the 8-case live fields) — kept in one
+    # derived table so both recursion terms read identical inputs
+    fields = f"""
+        SELECT grp, seq, n, sa, sd,
+               CASE WHEN c IN (0, 1, 5, 7) THEN d
+                    WHEN c = 4 THEN -(300 + d)
+                    WHEN c = 6 AND seq >= 20 THEN 400 + d END AS ld,
+               CASE WHEN c IN (0, 2) THEN sd + d END AS lt,
+               CASE WHEN c IN (0, 1, 3) THEN d END AS ad0,
+               CASE WHEN c = 0 THEN sa + d
+                    WHEN c = 2 THEN sa + d
+                    WHEN c = 7 THEN sa - 600 END AS at0
+        FROM (
+          SELECT grp, seq, n,
+                 60 + 10 * ((grp * 3 + seq) % 5) AS d,
+                 (grp + seq) % 8 AS c,
+                 {d0} + 600 * seq AS sa,
+                 {d0} + 600 * seq + 60 AS sd
+          FROM (
+            SELECT CAST(event_id % 40 AS BIGINT) AS grp,
+                   CAST(event_id // 40 AS BIGINT) AS seq,
+                   CAST(COUNT(*) OVER (PARTITION BY event_id % 40) AS BIGINT) AS n
+            FROM events WHERE event_id < 1600
+          ) _ids
+        ) _f
+    """
+    base_src = f"""(
+        SELECT *, CAST(NULL AS BIGINT) AS p_dd, CAST(NULL AS BIGINT) AS p_dt
+        FROM inp WHERE seq = 0
+    )"""
+    rec_src = """(
+        SELECT i.*, r.dd AS p_dd, r.dt AS p_dt
+        FROM rec r JOIN inp i ON i.grp = r.grp AND i.seq = r.seq + 1
+    )"""
+    return f"""
+        WITH RECURSIVE
+        inp AS MATERIALIZED ({fields}),
+        rec AS (
+            {_repair_step_sql(base_src, has_prev=False)}
+            UNION ALL
+            {_repair_step_sql(rec_src, has_prev=True)}
+        )
+        SELECT grp, seq,
+               ad AS arr_delay, at AS arr_time,
+               CAST(CASE WHEN COALESCE(LEAD(rewrote) OVER w, FALSE)
+                         THEN LEAD(p_dd_new) OVER w ELSE dd END AS BIGINT) AS dep_delay,
+               CAST(CASE WHEN COALESCE(LEAD(rewrote) OVER w, FALSE)
+                         THEN LEAD(p_dt_new) OVER w ELSE dt END AS BIGINT) AS dep_time
+        FROM rec
+        WINDOW w AS (PARTITION BY grp ORDER BY seq)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1386,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     sql["minhash_neardup"] = _oracle_minhash_sql()
+    sql["repair_pass"] = _repair_oracle_sql()
     return sql
 
 

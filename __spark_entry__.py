@@ -717,6 +717,47 @@ def q_connected_components(spark, sf_dir):
     ).where(F.col("size") > 1)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass (emails/IPv4s/phones -> typed tokens), a standard
+    pre-training cleanup. The corpus has no organic PII, so deterministic
+    PII derived from doc_id is injected first — identically in the oracle —
+    and the redaction itself is verified by counts, lengths, and the
+    redacted tail. All JVM-side regex; zero shuffle."""
+    from gtfsrt2lc_spark.functions.scrub import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    s = lambda c: c.cast("string")  # noqa: E731
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(F.col("doc_id")),
+        F.lit("@mail"), s(F.col("doc_id") % 7), F.lit(".example.com via 10."),
+        s(F.col("doc_id") % 256), F.lit("."),
+        s((F.col("doc_id") * 7) % 256), F.lit("."),
+        s(F.col("doc_id") % 100),
+        F.lit(" or +1-555-"), s(F.lit(1000) + F.col("doc_id") % 9000),
+    )
+    counts = pii_counts(injected)
+    clean = redact_pii(injected)
+    return d.select(
+        "doc_id",
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.right(clean, F.lit(60)).alias("tail"),
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup (CCNet/Dolma cleanup): 10-word
+    chunks as paragraphs, first occurrence by (doc, pos) kept, per-doc
+    (n_paras, n_kept) emitted."""
+    from gtfsrt2lc_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(d, "doc_id", "text", window=10)
+
+
 # repair recurrence fixture constants (shared by the Spark query and the
 # DuckDB oracle generator): a 40x40 (grp, seq) grid derived from event_id
 _REPAIR_DAY0 = 1_700_000_000
@@ -873,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_docs": q_kg_pipeline_docs,
         "connected_components": q_connected_components,
         "repair_pass": q_repair_pass,
+        "pii_scrub": q_pii_scrub,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -1631,7 +1674,68 @@ def oracle_sql() -> dict[str, str]:
     }
     sql["minhash_neardup"] = _oracle_minhash_sql()
     sql["repair_pass"] = _repair_oracle_sql()
+    sql["pii_scrub"] = _pii_scrub_oracle_sql()
+    sql["paragraph_dedup"] = """
+        WITH paras AS (
+            SELECT doc_id AS doc, p.pos, p.para FROM (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, CAST(ceil(len(words) / 10.0) AS BIGINT)),
+                           i -> {'pos': i,
+                                 'para': array_to_string(words[i*10+1 : i*10+10], ' ')}
+                       ) AS chunks
+                FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+            ), UNNEST(chunks) AS u(p)
+        ),
+        ranked AS (
+            SELECT doc, pos, para,
+                   ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc, pos) AS rn
+            FROM paras
+        )
+        SELECT doc, COUNT(*) AS n_paras,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM ranked GROUP BY doc
+    """
     return sql
+
+
+def _pii_scrub_oracle_sql() -> str:
+    """Verbatim replay of q_pii_scrub: same injected PII (doc_id arithmetic),
+    same Java/RE2-compatible patterns (functions/scrub.py), same redaction
+    order (emails, then IPs, then phones); DuckDB needs the explicit 'g'
+    flag where Spark's regexp_replace is global by default."""
+    from gtfsrt2lc_spark.functions.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example.com via 10.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.'
+                        || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                        || CAST(doc_id % 100 AS VARCHAR)
+                        || ' or +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                   AS t
+            FROM documents WHERE doc_id < 400
+        ),
+        red AS (
+            SELECT doc_id, t,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{IPV4_RE}', '<IP>', 'g'),
+                     '{PHONE_RE}', '<PHONE>', 'g') AS clean
+            FROM inj
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+               CAST(length(clean) AS BIGINT) AS clean_len,
+               right(clean, 60) AS tail
+        FROM red
+    """
 
 
 def _oracle_minhash_sql() -> str:

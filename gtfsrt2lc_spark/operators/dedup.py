@@ -277,6 +277,46 @@ def neardup_pairs_embedding(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame, id_col: str, text_col: str, window: int = 10
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the CCNet/Dolma pre-training
+    cleanup): every paragraph that already occurred anywhere else in the
+    corpus — keyed by exact content, first occurrence = smallest
+    (doc, position) — is dropped; returns per-doc (doc, n_paras, n_kept).
+
+    Inputs here are unpunctuated synthetic text, so a "paragraph" is a
+    fixed ``window``-word chunk; on real corpora pass pre-split paragraphs.
+
+    Scale posture: one keyed shuffle on the paragraph content (map-side
+    combinable min-of-(doc,pos) winner agg — the same winner-join shape as
+    latest_by_key), then one narrow per-doc count. Paragraph text never
+    rides a window function; boilerplate-heavy hot paragraphs are a single
+    reduce-side row thanks to the partial aggregation.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / window).cast("int")
+    chunks = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(words, i * window + 1, window), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    paras = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(chunks).alias("pos", "para")
+    )
+    winners = paras.groupBy("para").agg(
+        F.min(F.struct("doc", "pos")).alias("first")
+    ).select("para", F.col("first.doc").alias("doc"), F.col("first.pos").alias("pos"))
+    kept = paras.join(winners, ["para", "doc", "pos"], "left_semi")
+    return (
+        paras.groupBy("doc").agg(F.count("*").alias("n_paras"))
+        .join(kept.groupBy("doc").agg(F.count("*").alias("n_kept")), "doc", "left")
+        .select("doc", "n_paras", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+    )
+
+
 def ngram_jaccard(
     df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, n: int = 1
 ) -> DataFrame:

@@ -74,6 +74,39 @@ def test_ngram_jaccard(spark, docs):
     assert got[(1, 4)] == 0.0
 
 
+def test_paragraph_dedup(spark):
+    """First occurrence by (doc, pos) survives; repeats anywhere drop."""
+    from gtfsrt2lc_spark.operators.dedup import paragraph_dedup
+
+    a = "w1 w2 w3"          # para A
+    b = "x1 x2 x3"          # para B
+    df = spark.createDataFrame(
+        [(1, a), (2, b + " " * 0), (3, a), (4, a + " tail words here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc"]: (r["n_paras"], r["n_kept"])
+           for r in paragraph_dedup(df, "doc_id", "text", window=3).collect()}
+    # doc 1 owns para A; doc 3 is a pure repeat; doc 4 repeats A then adds a
+    # new chunk of its own
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 0), 4: (2, 1)}
+
+
+def test_pii_scrub_redacts(spark):
+    from gtfsrt2lc_spark.functions.scrub import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org from 192.168.0.1 call +1-555-0199 end")],
+        "id long, text string",
+    )
+    c = pii_counts(F.col("text"))
+    row = df.select(
+        redact_pii(F.col("text")).alias("clean"),
+        c["n_emails"].alias("e"), c["n_ips"].alias("i"), c["n_phones"].alias("p"),
+    ).collect()[0]
+    assert row["clean"] == "mail <EMAIL> from <IP> call <PHONE> end"
+    assert (row["e"], row["i"], row["p"]) == (1, 1, 1)
+
+
 def test_embedding_neardup_exact_vs_lsh(spark):
     """LSH path = recall-bounded subset of exact path with identical scores;
     on clustered vectors at a high threshold it recovers every pair."""

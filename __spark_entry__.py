@@ -717,6 +717,29 @@ def q_connected_components(spark, sf_dir):
     ).where(F.col("size") > 1)
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """The fuzzy dedup DECISION stage: MinHash near-dup pairs -> connected
+    components -> one row per duplicate cluster (cluster = min doc_id =
+    canonical keeper, size = docs collapsed into it). This is what a
+    training-data pipeline actually executes to keep one representative per
+    near-dup group; pairs and components compose the already-oracled
+    operators, and the oracle composes their SQL twins (MinHash arithmetic +
+    recursive-CTE closure)."""
+    from gtfsrt2lc_spark.operators.components import connected_components
+    from gtfsrt2lc_spark.operators.dedup import neardup_pairs_minhash
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = neardup_pairs_minhash(
+        d, "doc_id", "text", n_hashes=16, bands=8, jaccard_threshold=0.9
+    )
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return cc.groupBy(F.col("component").cast("long").alias("cluster")).agg(
+        F.count("*").alias("size")
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction pass (emails/IPv4s/phones -> typed tokens), a standard
     pre-training cleanup. The corpus has no organic PII, so deterministic
@@ -916,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_pass": q_repair_pass,
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
+        "neardup_clusters": q_neardup_clusters,
     }
 
 
@@ -1675,6 +1699,24 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_neardup"] = _oracle_minhash_sql()
     sql["repair_pass"] = _repair_oracle_sql()
     sql["pii_scrub"] = _pii_scrub_oracle_sql()
+    sql["neardup_clusters"] = f"""
+        WITH RECURSIVE
+        pairs AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({_oracle_minhash_sql()}) _mh
+        ),
+        sym AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(v, r) AS (
+            SELECT s, s FROM sym
+            UNION
+            SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.v
+        )
+        SELECT component AS cluster, COUNT(*) AS size FROM (
+            SELECT v, MIN(r) AS component FROM reach GROUP BY v
+        ) GROUP BY component
+    """
     sql["paragraph_dedup"] = """
         WITH paras AS (
             SELECT doc_id AS doc, p.pos, p.para FROM (

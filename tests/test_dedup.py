@@ -91,6 +91,22 @@ def test_paragraph_dedup(spark):
     assert got == {1: (1, 1), 2: (1, 1), 3: (1, 0), 4: (2, 1)}
 
 
+def test_neardup_clusters_keep_one(spark, docs):
+    """Pairs -> connected components -> one keeper per fuzzy cluster."""
+    from gtfsrt2lc_spark.operators.components import connected_components
+
+    pairs = neardup_pairs_minhash(docs, "doc_id", "text", jaccard_threshold=0.7)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = {r["vertex"]: r["component"] for r in cc.collect()}
+    # docs 1/2/3 form one fuzzy cluster (exact dup + one-word swap), 4/5
+    # another (permutation); 6 is isolated (no pair -> no vertex)
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == comp[5] == 4
+    assert 6 not in comp
+
+
 def test_pii_scrub_redacts(spark):
     from gtfsrt2lc_spark.functions.scrub import pii_counts, redact_pii
 

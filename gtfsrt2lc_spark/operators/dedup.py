@@ -306,14 +306,18 @@ def paragraph_dedup(
     paras = df.select(
         F.col(id_col).alias("doc"), F.posexplode(chunks).alias("pos", "para")
     )
-    winners = paras.groupBy("para").agg(
-        F.min(F.struct("doc", "pos")).alias("first")
-    ).select("para", F.col("first.doc").alias("doc"), F.col("first.pos").alias("pos"))
-    kept = paras.join(winners, ["para", "doc", "pos"], "left_semi")
-    return (
-        paras.groupBy("doc").agg(F.count("*").alias("n_paras"))
-        .join(kept.groupBy("doc").agg(F.count("*").alias("n_kept")), "doc", "left")
-        .select("doc", "n_paras", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+    winners = paras.groupBy("para").agg(F.min(F.struct("doc", "pos")).alias("first"))
+    # flag-and-aggregate in one pass: the winners join reuses the para
+    # partitioning from the aggregation (no extra exchange), and a single
+    # doc-keyed shuffle computes both counts — vs two doc aggregations
+    flagged = paras.join(winners, "para").select(
+        "doc",
+        (
+            (F.col("doc") == F.col("first.doc")) & (F.col("pos") == F.col("first.pos"))
+        ).cast("long").alias("kept"),
+    )
+    return flagged.groupBy("doc").agg(
+        F.count("*").alias("n_paras"), F.sum("kept").alias("n_kept")
     )
 
 

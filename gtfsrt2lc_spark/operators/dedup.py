@@ -65,9 +65,27 @@ def latest_by_key(
 
 
 def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """One row per distinct content value: the one with the smallest id."""
-    w = Window.partitionBy(content_col).orderBy(F.col(id_col))
-    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    """One row per distinct content value: the one with the smallest id.
+
+    Winner-agg + semi-join on a 256-bit content digest, so only
+    (digest, id) rides the shuffle — a window partitioned by the content
+    column would carry every payload byte through the exchange, which at
+    100 TB is the whole corpus. Dedup key is sha2-256, not raw content:
+    distinct contents colliding is cryptographically negligible, and ids
+    are unique so the (digest, min id) semi-join keeps exactly one row.
+    NULL contents group together under a sentinel digest (sha2 never
+    returns ''), matching the window form's NULL-partition behavior."""
+    digest = F.coalesce(F.sha2(F.col(content_col).cast("binary"), 256), F.lit(""))
+    winners = (
+        df.select(digest.alias("_digest"), F.col(id_col).alias(id_col))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return (
+        df.withColumn("_digest", digest)
+        .join(winners, ["_digest", id_col], "left_semi")
+        .drop("_digest")
+    )
 
 
 def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:

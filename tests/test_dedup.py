@@ -37,6 +37,21 @@ def test_exact_dedup(docs):
     assert len(groups) == 1 and groups[0]["keeper_id"] == 1 and groups[0]["n_dups"] == 2
 
 
+def test_exact_dedup_never_shuffles_payload(spark):
+    """dedup_exact shuffles only (digest, id); the payload column must not
+    appear in any Exchange (the old window form carried every byte)."""
+    df = spark.createDataFrame(
+        [(1, b"a" * 10), (2, b"a" * 10), (3, b"b" * 10), (4, None)],
+        "doc_id long, payload binary",
+    )
+    kept = dedup_exact(df, "payload", "doc_id")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4}
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line, line
+
+
 def test_latest_by_key(spark):
     df = spark.createDataFrame(
         [("u", 1, "old"), ("u", 3, "new"), ("u", 2, "mid"), ("v", 1, "only")],

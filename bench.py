@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "doc_simhash",
     "token_count",
     "quality_score",
+    "pii_scrub",
+    "paragraph_dedup",
+    "repair_pass",
     "ann_cosine_topk",
     "svo_extract",
     "kg_pipeline_docs",
@@ -66,7 +69,12 @@ def main() -> None:
         for name in BENCH_QUERIES:
             t0 = time.monotonic()
             qs[name](spark, sf_dir).count()
-            timings[name] = round(time.monotonic() - t0, 3)
+            dt = round(time.monotonic() - t0, 3)
+            # min across passes: pass 1 warms codegen/page cache/python
+            # workers, and on this shared VM either pass can hit a
+            # throttling stall — the minimum is the steady-state number
+            # (same convention as the kg best-of-2 below)
+            timings[name] = min(timings.get(name, dt), dt)
 
     # flagship: full KG pipeline over a synthesized CC-style page corpus
     from gtfsrt2lc_spark.fixtures.pages import PREDICATES, build_corpus, corpus_dataframes

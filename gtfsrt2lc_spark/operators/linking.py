@@ -89,21 +89,29 @@ def link_fuzzy(
 
     MinHash-LSH candidate generation (band-bucket equi-join) then exact
     Jaccard verification on candidates only.
+
+    Shuffle discipline: the band join replicates every row x bands, so it
+    runs on NARROW (key, band) frames only; shingle sets are recomputed
+    closed-form from the surface strings and joined back to the deduped
+    candidate pairs (at most one shuffle of each set per side, instead of
+    x bands). Candidates dedup on (surface_q, surface_d) — not on
+    record_id — so when one record owns several bucketed surfaces every
+    (query, dict-surface) pair is scored and the winner window picks the
+    best, deterministically (the old arbitrary-row dropDuplicates could
+    keep a worse-scoring surface's shingles).
     """
     rows = n_hashes // bands
     perms = minhash_perms(n_hashes, seed=seed)
 
     def prep(df: DataFrame, side: str) -> DataFrame:
         # explode shingle hashes -> flat min-aggregates per permutation
-        # (SURVEY.md §2.9: posexplode + min per band, no UDAF, no deep HOFs)
+        # (SURVEY.md §2.9: posexplode + min per band, no UDAF, no deep
+        # HOFs), emitting ONLY (surface, band) — payload-free by design
         ex = df.select(
             F.col("surface").alias(f"surface_{side}"),
-            *([F.col("record_id")] if side == "d" else []),
             F.explode(_shingle_hashes(F.col("surface"))).alias("h"),
         )
-        keys = [f"surface_{side}"] + (["record_id"] if side == "d" else [])
-        sigs = ex.groupBy(*keys).agg(
-            F.collect_set("h").alias(f"sh_{side}"),
+        sigs = ex.groupBy(f"surface_{side}").agg(
             *[
                 F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(2_147_483_647)).alias(f"s{i}")
                 for i, (a, b) in enumerate(perms)
@@ -118,17 +126,29 @@ def link_fuzzy(
             for bi in range(bands)
         ]
         return sigs.select(
-            *keys, f"sh_{side}", F.explode(F.array(*bandcols)).alias("band")
+            f"surface_{side}", F.explode(F.array(*bandcols)).alias("band")
         )
 
-    q = prep(surfaces_q.select("surface").distinct(), "q")
-    d = prep(resolve_dictionary(dictionary), "d")
+    dic = resolve_dictionary(dictionary)
+    qd = surfaces_q.select("surface").distinct()
+    q = prep(qd, "q")
+    d = prep(dic, "d")
 
     cand = (
         q.join(d, "band")
         .drop("band")
-        .dropDuplicates(["surface_q", "record_id"])
+        .dropDuplicates(["surface_q", "surface_d"])
     )
+    qsh = qd.select(
+        F.col("surface").alias("surface_q"),
+        _shingle_hashes(F.col("surface")).alias("sh_q"),
+    )
+    dsh = dic.select(
+        F.col("surface").alias("surface_d"),
+        F.col("record_id"),
+        _shingle_hashes(F.col("surface")).alias("sh_d"),
+    )
+    cand = cand.join(qsh, "surface_q").join(dsh, "surface_d")
     inter = F.size(F.array_intersect("sh_q", "sh_d"))
     union = F.size("sh_q") + F.size("sh_d") - inter
     scored = cand.withColumn(

@@ -90,6 +90,36 @@ def test_fuzzy_linking_recovers_typos(spark, corpus_dfs, corpus):
     assert got.get("Stark Industres") == rec_by_name["Stark Industries"]
 
 
+def test_fuzzy_link_band_join_shuffles_no_shingles(spark, corpus_dfs):
+    """Plan-shape guard: link_fuzzy's band join replicates rows x bands, so
+    no shingle-set column may ride a band-keyed Exchange — sets join back to
+    the deduped candidate pairs only (same discipline as the dedup family)."""
+    import contextlib
+    import io
+    import re
+
+    _, _, surfaces, _ = corpus_dfs
+    from gtfsrt2lc_spark.operators.linking import link_fuzzy
+
+    queries = spark.createDataFrame([("Ada Lovelacee",)], "surface string")
+    out = link_fuzzy(queries, surfaces)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    checked = 0
+    for block in buf.getvalue().split("\n\n"):
+        lines = block.strip().splitlines()
+        if not lines or "Exchange" not in lines[0]:
+            continue
+        args = next((ln for ln in lines if ln.startswith("Arguments:")), "")
+        inp = next((ln for ln in lines if ln.startswith("Input")), "")
+        if "band" in args:
+            checked += 1
+            cols = re.findall(r"[\[, ]([A-Za-z_][A-Za-z0-9_]*)#", inp)
+            assert not any(c.startswith("sh_") for c in cols), cols
+    assert checked > 0, "expected a band-keyed Exchange in the plan"
+
+
 def test_distributed_mapping_equivalence(corpus_dfs, result_triples):
     """max_local_surfaces=0 forces the fully distributed surface->record
     mapping (the web-scale path where the distinct surface set must never

@@ -3,12 +3,14 @@
 A training-data pipeline at corpus scale treats media as ``binary`` columns
 with typed metadata structs. The Spark-side plumbing here is real and tested —
 schemas, Arrow batch shapes, ``mapInPandas`` partition iteration, partition
-sizing — while the codec work (actual JPEG/PNG/audio decode) is stubbed
-behind ``MEDIA_DECODERS``: the container image has no imaging libraries, so
-the default decoder is a deterministic header parser for the formats'
-magic-byte layouts (real enough to extract width/height for PNG/GIF/BMP and
-format tags elsewhere), and a hook point accepts a real decoder when the
-dependency exists.
+sizing. Pixel decode is REAL for uncompressed 24-bit BMP (pure
+struct + numpy, dependency-free), driving the full decode -> resize ->
+grayscale-feature path end-to-end; JPEG/PNG/audio codecs need imaging
+libraries absent from this container and sit behind the same
+``PIXEL_DECODERS`` hook (register a PIL/opencv-backed callable to
+activate — the surrounding Spark plumbing is identical). Header-only
+metadata (format sniff, PNG/GIF/BMP dimensions) is dependency-free for all
+formats.
 
 Reference analog: the undecoded protobuf payload (`lib/Gtfsrt2LC.js:61-66`) —
 binary in, typed struct out, never row-at-a-time Python.
@@ -65,18 +67,62 @@ def parse_dimensions(data: bytes, fmt: str) -> tuple[int | None, int | None]:
     return None, None
 
 
+def decode_bmp(data: bytes):
+    """REAL pixel decode for uncompressed 24-bit BMP — dependency-free
+    (pure struct + numpy), deterministic. Returns an (h, w, 3) uint8 RGB
+    array. BMP stores rows bottom-up, BGR, each row padded to 4 bytes."""
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pixel_offset,) = struct.unpack_from("<I", data, 10)
+    w, h = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    need = pixel_offset + row_bytes * h
+    if len(data) < need:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=pixel_offset)
+    rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def resize_nearest(arr, out_w: int, out_h: int):
+    """Deterministic nearest-neighbor resize (numpy index sampling)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
+
+
 def decode_pixels(data: bytes, fmt: str):
-    """Full pixel decode — requires an imaging library not present in this
-    container. The Spark plumbing around it (schema, batching) is real;
-    plug a decoder into MEDIA_DECODERS to activate."""
-    raise NotImplementedError(
-        "pixel decode requires an imaging library (PIL/opencv); "
-        "register one in MEDIA_DECODERS"
-    )
+    """Full pixel decode. BMP decodes for real (pure numpy); other formats
+    need an imaging library not present in this container — the Spark
+    plumbing around them (schema, batching) is identical, so registering a
+    PIL/opencv-backed callable in PIXEL_DECODERS activates them."""
+    dec = PIXEL_DECODERS.get(fmt)
+    if dec is None:
+        raise NotImplementedError(
+            f"pixel decode for {fmt!r} requires an imaging library "
+            "(PIL/opencv); register one in PIXEL_DECODERS"
+        )
+    return dec(data)
 
 
-# hook point: format -> callable(bytes) -> (width, height)
+# hook points:
+#   MEDIA_DECODERS: format -> callable(bytes) -> (width, height)   (metadata)
+#   PIXEL_DECODERS: format -> callable(bytes) -> ndarray (h, w, 3) (pixels)
 MEDIA_DECODERS: dict[str, Callable[[bytes], tuple[int, int]]] = {}
+PIXEL_DECODERS: dict[str, Callable[[bytes], object]] = {"bmp": decode_bmp}
 
 
 def extract_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
@@ -109,6 +155,49 @@ def extract_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
                      "n_bytes": len(b), "is_valid": fmt != "unknown"}
                 )
             yield pdf.assign(meta=metas)
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+def media_features(
+    df: DataFrame, media_col: str = "media", size: int = 8
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize to size x size -> grayscale feature
+    vector (row-major, /255), the standard image-embedding pre-processing
+    shape, end-to-end through Arrow mapInPandas. Formats without a
+    registered PIXEL_DECODERS entry (e.g. jpeg/png in this container) yield
+    a NULL feature and decodable=false rather than failing the batch —
+    corpus-scale jobs must tolerate undecodable blobs.
+
+    Output: input columns + (width int, height int, decodable boolean,
+    feature array<float> of size*size grayscale values)."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", width int, height int, decodable boolean, feature array<float>"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, oks, feats = [], [], [], []
+            for data in pdf[media_col]:
+                b = bytes(data) if data is not None else None
+                fmt = sniff_format(b)
+                dec = PIXEL_DECODERS.get(fmt) if fmt else None
+                if b is None or dec is None:
+                    widths.append(None); heights.append(None)
+                    oks.append(False); feats.append(None)
+                    continue
+                try:
+                    arr = dec(b)
+                except (ValueError, NotImplementedError):
+                    widths.append(None); heights.append(None)
+                    oks.append(False); feats.append(None)
+                    continue
+                h, w = arr.shape[:2]
+                small = resize_nearest(arr, size, size).astype("float64")
+                gray = (small[:, :, 0] + small[:, :, 1] + small[:, :, 2]) / (3.0 * 255.0)
+                widths.append(w); heights.append(h); oks.append(True)
+                feats.append([float(x) for x in gray.reshape(-1)])
+            yield pdf.assign(width=widths, height=heights, decodable=oks, feature=feats)
 
     return df.mapInPandas(op, schema=out_schema)
 

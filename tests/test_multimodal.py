@@ -1,7 +1,9 @@
 """Multimodal plumbing: binary media columns + typed metadata via mapInPandas.
 
-Codec decode is stubbed (no imaging libs in the container); the Spark-side
-schema/batching/expansion shapes are real and asserted here.
+BMP pixel decode is real (pure numpy) and drives the decode -> resize ->
+featurize path end-to-end; JPEG/PNG decode sits behind the PIXEL_DECODERS
+hook (no imaging libs in the container). Spark-side schema/batching/
+expansion shapes asserted throughout.
 """
 
 from __future__ import annotations
@@ -76,9 +78,53 @@ def test_frame_sample_expansion(media_df):
     assert "media" not in frames.columns  # blob dropped after expansion
 
 
-def test_pixel_decode_is_stubbed():
+def test_pixel_decode_png_needs_library():
+    # png stays behind the PIXEL_DECODERS hook (no imaging lib in container)
     with pytest.raises(NotImplementedError):
         decode_pixels(b"\x89PNG", "png")
+
+
+def _bmp(pixels):
+    """Build an uncompressed 24-bit BMP from [[(r,g,b), ...], ...] rows."""
+    h = len(pixels)
+    w = len(pixels[0])
+    row_bytes = (w * 3 + 3) & ~3
+    body = b""
+    for row in reversed(pixels):  # bottom-up storage
+        line = b"".join(bytes((b_, g, r)) for (r, g, b_) in row)  # BGR
+        body += line + b"\x00" * (row_bytes - len(line))
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    return header + body
+
+
+def test_bmp_pixel_decode_exact():
+    """BMP decodes for real: exact RGB values, row order, padding handled."""
+    px = [[(255, 0, 0), (0, 255, 0), (10, 20, 30)],
+          [(0, 0, 255), (1, 2, 3), (4, 5, 6)]]
+    arr = decode_pixels(_bmp(px), "bmp")
+    assert arr.shape == (2, 3, 3)
+    assert [tuple(int(v) for v in arr[y][x]) for y in range(2) for x in range(3)] == [
+        (255, 0, 0), (0, 255, 0), (10, 20, 30), (0, 0, 255), (1, 2, 3), (4, 5, 6)
+    ]
+
+
+def test_media_features_end_to_end(spark):
+    """Full decode -> resize -> grayscale featurize through mapInPandas;
+    undecodable formats yield NULL feature rows, not failures."""
+    from gtfsrt2lc_spark.functions.multimodal import media_features
+
+    solid = [[(90, 90, 90)] * 4 for _ in range(4)]  # 4x4 uniform gray
+    df = spark.createDataFrame(
+        [(1, _bmp(solid)), (2, _png(8, 8)), (3, None)], "id long, media binary"
+    )
+    rows = {r["id"]: r for r in media_features(df, size=2).collect()}
+    assert rows[1]["decodable"] and (rows[1]["width"], rows[1]["height"]) == (4, 4)
+    assert rows[1]["feature"] == pytest.approx([90 / 255.0] * 4)
+    assert not rows[2]["decodable"] and rows[2]["feature"] is None
+    assert not rows[3]["decodable"] and rows[3]["feature"] is None
 
 
 def test_partitioned_batching(spark, media_df):

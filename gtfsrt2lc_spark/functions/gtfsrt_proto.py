@@ -180,10 +180,13 @@ def decode_feed(data: bytes | None) -> dict:
         return out
     if data[:2] == b"\x1f\x8b":
         import gzip
+        import zlib
 
         try:
             data = gzip.decompress(data)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
+            # truncated body raises EOFError, bit-flipped data zlib.error —
+            # neither subclasses OSError; all three mean malformed input
             return out
     try:
         for f, _wt, v in _iter_fields(data):

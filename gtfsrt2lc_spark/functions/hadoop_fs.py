@@ -8,9 +8,13 @@ here resolves the path through ``FileSystem.get(uri, hadoopConf)`` so behavior
 is identical on ``file:/``, ``hdfs:/`` and object stores.
 
 Atomicity notes: ``rename`` is atomic on HDFS and POSIX local filesystems; on
-S3A it is copy+delete (best available without a committer service). The
-pointer-file protocol in ``plans.gtfs.HistoryStore`` keeps the window to a
-single small-file rename either way.
+S3A it is copy+delete (best available without a committer service).
+``write_text_atomic`` is all-or-nothing ONLY for paths that do not already
+exist (tmp + rename to a fresh name); overwriting an existing path requires a
+delete first, which opens a crash window where the path is missing. Store
+protocols must therefore commit by writing NEW names (e.g. ``HistoryStore``'s
+``manifest-<seq>.json``, where readers resolve the highest sequence) rather
+than flipping a single mutable pointer file.
 """
 
 from __future__ import annotations
@@ -58,7 +62,8 @@ def read_text(spark: SparkSession, path: str) -> str:
 
 def write_text_atomic(spark: SparkSession, path: str, content: str) -> None:
     """Write a small control file via tmp-sibling + rename (atomic on
-    HDFS/local; copy+delete on S3A)."""
+    HDFS/local; copy+delete on S3A). All-or-nothing only when ``path`` does
+    not already exist — see the module docstring's atomicity notes."""
     fs, p = _fs_path(spark, path)
     tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     stream = fs.create(tmp, True)
@@ -79,4 +84,17 @@ def list_dirs(spark: SparkSession, path: str) -> list[str]:
         return []
     return sorted(
         st.getPath().getName() for st in fs.listStatus(p) if st.isDirectory()
+    )
+
+
+def list_files(spark: SparkSession, path: str, prefix: str = "") -> list[str]:
+    """Names of immediate plain files, optionally prefix-filtered; [] if
+    the directory is missing."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isFile() and st.getPath().getName().startswith(prefix)
     )

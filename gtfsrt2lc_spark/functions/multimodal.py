@@ -193,6 +193,10 @@ def media_features(
                     oks.append(False); feats.append(None)
                     continue
                 h, w = arr.shape[:2]
+                if h == 0 or w == 0:  # degenerate-but-valid header (0-dim)
+                    widths.append(None); heights.append(None)
+                    oks.append(False); feats.append(None)
+                    continue
                 small = resize_nearest(arr, size, size).astype("float64")
                 gray = (small[:, :, 0] + small[:, :, 1] + small[:, :, 2]) / (3.0 * 255.0)
                 widths.append(w); heights.append(h); oks.append(True)

@@ -74,7 +74,26 @@ def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     distinct contents colliding is cryptographically negligible, and ids
     are unique so the (digest, min id) semi-join keeps exactly one row.
     NULL contents group together under a sentinel digest (sha2 never
-    returns ''), matching the window form's NULL-partition behavior."""
+    returns ''), matching the window form's NULL-partition behavior.
+    Non-string/binary content columns fall back to grouping on the value
+    itself (narrow for scalar types; the digest exists to avoid shuffling
+    wide text/blob payloads, which only string/binary can be)."""
+    dtype = df.schema[content_col].dataType.simpleString()
+    if dtype not in ("string", "binary"):
+        winners = (
+            df.select(F.col(content_col), F.col(id_col))
+            .groupBy(content_col)
+            .agg(F.min(id_col).alias(id_col))
+            .select(
+                F.col(content_col).alias("_dx_content"), F.col(id_col).alias("_dx_id")
+            )
+        )
+        return df.join(
+            winners,
+            F.col(content_col).eqNullSafe(F.col("_dx_content"))
+            & (F.col(id_col) == F.col("_dx_id")),
+            "left_semi",
+        )
     digest = F.coalesce(F.sha2(F.col(content_col).cast("binary"), 256), F.lit(""))
     winners = (
         df.select(digest.alias("_digest"), F.col(id_col).alias(id_col))

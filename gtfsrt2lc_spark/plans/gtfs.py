@@ -547,24 +547,28 @@ class HistoryStore:
     type). ``filter_new`` anti-joins unchanged connections; ``commit``
     upserts the new states. Second identical run emits 0 (ref test :156).
 
-    Layout — bucketed generations behind an atomic pointer (the reference
-    does LevelDB point upserts; the Spark-native analog is bucket-granular
-    rewrite instead of full-store rewrite):
+    Layout — bucketed generations committed by monotonically-named manifests
+    (the reference does LevelDB point upserts; the Spark-native analog is
+    bucket-granular rewrite instead of full-store rewrite):
 
     .. code-block:: text
 
-        <path>/_CURRENT                 # name of the live manifest (atomic rename)
         <path>/manifest-<seq>.json      # {"n_buckets", "seq", "gens": {gen: [buckets]}}
         <path>/data/gen-<seq>/bucket=N/ # parquet, partitioned by bucket
 
     ``commit`` rewrites ONLY buckets containing fresh keys (O(changed
     buckets), not O(total history) — each key's bucket is
-    ``pmod(xxhash64(rule_key), n_buckets)``), writes them to a brand-new
-    generation directory, then flips the manifest pointer. A crash at any
-    point leaves the previous manifest live and intact; orphan generation
-    dirs are garbage-collected by the next successful commit. All path
-    operations go through the Hadoop FileSystem API so the protocol works
-    on HDFS/S3A, not just the local filesystem.
+    ``pmod(xxhash64(rule_key), n_buckets)``), writes them to generation dir
+    ``gen-<seq+1>`` FIRST (``mode("overwrite")`` so a crashed attempt's
+    orphan at the same name never blocks the retry), then writes
+    ``manifest-<seq+1>.json`` — the COMMIT POINT. The manifest lands via
+    tmp + rename to a name that never pre-exists, so it is all-or-nothing;
+    readers resolve the highest manifest sequence, which means there is no
+    mutable pointer file and no delete-before-rename crash window (a commit
+    either fully happened — its manifest is complete and its data was
+    written before it — or left only orphans the next commit overwrites and
+    vacuums). All path operations go through the Hadoop FileSystem API so
+    the protocol works on HDFS/S3A, not just the local filesystem.
     """
 
     _SCHEMA = (
@@ -607,18 +611,24 @@ class HistoryStore:
         return F.pmod(F.xxhash64(rule_key), F.lit(self.n_buckets)).cast("int")
 
     def _manifest(self) -> dict:
-        """Live manifest, or a fresh empty one. A missing ``_CURRENT`` means
-        an empty store; any OTHER failure (unreadable manifest, missing data
-        the pointer references) raises — a half-written store must surface,
-        not silently reset all differential history (every connection would
-        re-emit on the next poll)."""
+        """Live manifest = the highest ``manifest-<seq>.json`` present, or a
+        fresh empty one when none exists. Manifests appear atomically under
+        never-reused names, so the highest sequence is always a completed
+        commit (its generation data is written before it). Any read failure
+        past this point (unreadable manifest, missing data it references)
+        raises — a corrupted store must surface, not silently reset all
+        differential history (every connection would re-emit on the next
+        poll)."""
         from gtfsrt2lc_spark.functions import hadoop_fs as hfs
 
-        pointer = f"{self.path}/_CURRENT"
-        if not hfs.exists(self.spark, pointer):
+        names = [
+            n
+            for n in hfs.list_files(self.spark, self.path, prefix="manifest-")
+            if n.endswith(".json")  # skip a crashed write's partial .tmp
+        ]
+        if not names:
             return {"n_buckets": self.n_buckets, "seq": 0, "gens": {}}
-        name = hfs.read_text(self.spark, pointer).strip()
-        m = json.loads(hfs.read_text(self.spark, f"{self.path}/{name}"))
+        m = json.loads(hfs.read_text(self.spark, f"{self.path}/{names[-1]}"))
         self.n_buckets = int(m["n_buckets"])  # stay consistent across commits
         return m
 
@@ -663,9 +673,11 @@ class HistoryStore:
         """Upsert: latest state per (rule_key, service_day).
 
         Rewrites only the buckets that contain fresh keys: untouched buckets'
-        files are never read or rewritten. The new generation is written to a
-        never-before-used directory FIRST; the manifest pointer flips LAST
-        (atomic rename), so a crash anywhere leaves the previous store live.
+        files are never read or rewritten. The new generation data is written
+        FIRST (mode("overwrite"): a crashed earlier attempt may have left an
+        orphan at the same gen-<seq+1> name, which must not block the retry);
+        writing manifest-<seq+1>.json LAST is the atomic commit point, so a
+        crash anywhere beforehand leaves the previous store live.
         """
         from gtfsrt2lc_spark.functions import hadoop_fs as hfs
 
@@ -692,7 +704,9 @@ class HistoryStore:
         )
         seq = int(m["seq"]) + 1
         gen = f"gen-{seq:06d}"
-        merged.write.partitionBy("bucket").parquet(f"{self.path}/data/{gen}")
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{self.path}/data/{gen}"
+        )
 
         moved = set(affected)
         gens = {
@@ -700,22 +714,29 @@ class HistoryStore:
         }
         gens = {g: bs for g, bs in gens.items() if bs}
         gens[gen] = affected
-        name = f"manifest-{seq:06d}.json"
+        # COMMIT POINT: a fresh-named manifest appears atomically; readers
+        # resolve the highest sequence, so no mutable pointer file exists
         hfs.write_text_atomic(
             self.spark,
-            f"{self.path}/{name}",
+            f"{self.path}/manifest-{seq:06d}.json",
             json.dumps({"n_buckets": self.n_buckets, "seq": seq, "gens": gens}),
         )
-        hfs.write_text_atomic(self.spark, f"{self.path}/_CURRENT", name)
         if vacuum:
-            self._vacuum(gens)
+            self._vacuum(gens, seq)
 
-    def _vacuum(self, live_gens: dict) -> None:
-        """Drop generation dirs and manifests no longer referenced. Safe
-        because readers resolve paths through the already-flipped pointer;
-        the sequential poll loop has no concurrent reader mid-plan."""
+    def _vacuum(self, live_gens: dict, live_seq: int) -> None:
+        """Drop generation dirs the live manifest no longer references,
+        manifests below the live sequence, and any legacy pointer file.
+        Safe because readers resolve the highest manifest and the
+        sequential poll loop has no concurrent reader mid-plan."""
         from gtfsrt2lc_spark.functions import hadoop_fs as hfs
 
         for gen in hfs.list_dirs(self.spark, f"{self.path}/data"):
             if gen not in live_gens:
                 hfs.delete(self.spark, f"{self.path}/data/{gen}")
+        live_name = f"manifest-{live_seq:06d}.json"
+        for name in hfs.list_files(self.spark, self.path, prefix="manifest-"):
+            if name != live_name:
+                hfs.delete(self.spark, f"{self.path}/{name}")
+        if hfs.exists(self.spark, f"{self.path}/_CURRENT"):  # legacy pointer
+            hfs.delete(self.spark, f"{self.path}/_CURRENT")

@@ -52,6 +52,16 @@ def test_exact_dedup_never_shuffles_payload(spark):
             assert "payload" not in line, line
 
 
+def test_exact_dedup_scalar_content_fallback(spark):
+    """Non-string/binary content columns still dedup (grouped on the value,
+    no digest), including a NULL-content group."""
+    df = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9), (4, None), (5, None)], "doc_id long, checksum int"
+    )
+    kept = dedup_exact(df, "checksum", "doc_id")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4}
+
+
 def test_latest_by_key(spark):
     df = spark.createDataFrame(
         [("u", 1, "old"), ("u", 3, "new"), ("u", 2, "mid"), ("v", 1, "only")],

@@ -202,7 +202,7 @@ def test_history_upsert_and_vacuum(spark, tmp_path):
     gens = [p.name for p in (pathlib.Path(root) / "data").iterdir()]
     assert gens == ["gen-000002"]  # gen-000001 fully superseded -> vacuumed
 
-    # crash simulation: orphan generation written but pointer never flipped
+    # crash simulation A: orphan generation written, manifest never written
     orphan = pathlib.Path(root) / "data" / "gen-999999"
     _states(spark, ["junk"]).withColumn(
         "bucket", store._bucket(F.col("rule_key"))
@@ -212,16 +212,54 @@ def test_history_upsert_and_vacuum(spark, tmp_path):
     assert not orphan.exists()  # next commit vacuums it
     assert store._read().count() == 3
 
+    # crash simulation B: the orphan squats on the NEXT sequence's gen name
+    # (crash mid-commit); the retry must overwrite it, not fail on
+    # path-already-exists, and must not surface the orphan's junk rows
+    m = store._manifest()
+    colliding = pathlib.Path(root) / "data" / f"gen-{int(m['seq']) + 1:06d}"
+    _states(spark, ["junk2"]).withColumn(
+        "bucket", store._bucket(F.col("rule_key"))
+    ).write.partitionBy("bucket").parquet(str(colliding))
+    store.commit(_states(spark, ["k4"], dep=7))
+    rows = {r["rule_key"] for r in store._read().collect()}
+    assert rows == {"k1", "k2", "k3", "k4"}
+
+    # a stale manifest file and a partial .tmp are vacuumed / ignored
+    assert [p.name for p in pathlib.Path(root).glob("manifest-*")] == [
+        f"manifest-{store._manifest()['seq']:06d}.json"
+    ]
+
+
+def test_history_commit_is_crash_recoverable(spark, tmp_path):
+    """The manifest write IS the commit point: a completed manifest that a
+    crash left un-vacuumed is simply the live store; a partial .tmp from a
+    crashed manifest write is ignored."""
+    import pathlib
+
+    root = str(tmp_path / "hist")
+    store = HistoryStore(spark, root, n_buckets=4)
+    store.commit(_states(spark, ["k1"], dep=10))
+    store.commit(_states(spark, ["k1"], dep=99), vacuum=False)  # crash before vacuum
+    fresh = HistoryStore(spark, root, n_buckets=4)
+    assert {r["departure_delay"] for r in fresh._read().collect()} == {99}
+    (pathlib.Path(root) / "manifest-999999.json.tmp").write_text("{parti")
+    assert {r["departure_delay"] for r in fresh._read().collect()} == {99}
+
 
 def test_history_corruption_surfaces(spark, tmp_path):
-    """A pointer referencing a missing manifest raises instead of silently
-    resetting differential history (which would re-emit every connection)."""
+    """A manifest referencing missing generation data raises instead of
+    silently resetting differential history (which would re-emit every
+    connection)."""
+    import json as _json
+
     root = str(tmp_path / "hist")
     store = HistoryStore(spark, root, n_buckets=4)
     store.commit(_states(spark, ["k1"]))
-    (tmp_path / "hist" / "_CURRENT").write_text("manifest-999999.json")
+    (tmp_path / "hist" / "manifest-999999.json").write_text(
+        _json.dumps({"n_buckets": 4, "seq": 999999, "gens": {"gen-999999": [0]}})
+    )
     with pytest.raises(Exception):
-        store._read()
+        store._read().collect()
 
 
 def test_quads_shape(spark, pipeline):

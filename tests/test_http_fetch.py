@@ -187,3 +187,9 @@ def test_gzipped_feed_file_sniffed(tmp_path):
 
     assert decode_feed(gzip.compress(FEED)) == decode_feed(FEED)
     assert decode_feed(b"\x1f\x8b garbage")["entities"] == []
+    # truncated gzip raises EOFError, bit-flipped zlib.error — both must
+    # fall under the total-function contract, not crash the decode task
+    assert decode_feed(gzip.compress(FEED)[:20])["entities"] == []
+    corrupt = bytearray(gzip.compress(FEED))
+    corrupt[15] ^= 0xFF
+    assert decode_feed(bytes(corrupt))["entities"] == []

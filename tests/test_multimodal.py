@@ -127,6 +127,20 @@ def test_media_features_end_to_end(spark):
     assert not rows[3]["decodable"] and rows[3]["feature"] is None
 
 
+def test_media_features_degenerate_dimensions(spark):
+    """A valid-header BMP with zero width/height marks undecodable instead
+    of killing the batch (resize of an empty array would IndexError)."""
+    from gtfsrt2lc_spark.functions.multimodal import media_features
+
+    zero_w = (
+        b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 0, 2, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    df = spark.createDataFrame([(1, zero_w)], "id long, media binary")
+    row = media_features(df, size=2).collect()[0]
+    assert not row["decodable"] and row["feature"] is None
+
+
 def test_partitioned_batching(spark, media_df):
     """mapInPandas must behave identically across partition layouts."""
     one = {r["id"]: r["meta"]["format"] for r in extract_media_meta(media_df.coalesce(1)).collect()}

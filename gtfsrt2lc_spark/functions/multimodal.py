@@ -81,6 +81,11 @@ def decode_bmp(data: bytes):
     (compression,) = struct.unpack_from("<I", data, 30)
     if bpp != 24 or compression != 0:
         raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp})")
+    if w <= 0 or pixel_offset < 54:
+        # negative width would make row_bytes negative (frombuffer would
+        # read-all and reshape would infer dims — garbage decoded silently);
+        # a pixel offset inside the header would decode header bytes as pixels
+        raise ValueError(f"malformed BMP header (width={w}, offset={pixel_offset})")
     bottom_up = h > 0
     h = abs(h)
     row_bytes = (w * 3 + 3) & ~3
@@ -200,7 +205,7 @@ def media_features(
                 small = resize_nearest(arr, size, size).astype("float64")
                 gray = (small[:, :, 0] + small[:, :, 1] + small[:, :, 2]) / (3.0 * 255.0)
                 widths.append(w); heights.append(h); oks.append(True)
-                feats.append([float(x) for x in gray.reshape(-1)])
+                feats.append(gray.reshape(-1).tolist())
             yield pdf.assign(width=widths, height=heights, decodable=oks, feature=feats)
 
     return df.mapInPandas(op, schema=out_schema)

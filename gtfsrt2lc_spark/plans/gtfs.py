@@ -628,7 +628,10 @@ class HistoryStore:
         ]
         if not names:
             return {"n_buckets": self.n_buckets, "seq": 0, "gens": {}}
-        m = json.loads(hfs.read_text(self.spark, f"{self.path}/{names[-1]}"))
+        # max by PARSED sequence: %06d stops zero-padding past 999999, so a
+        # lexicographic max would pick manifest-999999 over manifest-1000000
+        live = max(names, key=lambda n: int(n[len("manifest-"):-len(".json")]))
+        m = json.loads(hfs.read_text(self.spark, f"{self.path}/{live}"))
         self.n_buckets = int(m["n_buckets"])  # stay consistent across commits
         return m
 

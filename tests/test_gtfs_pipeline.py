@@ -246,6 +246,21 @@ def test_history_commit_is_crash_recoverable(spark, tmp_path):
     assert {r["departure_delay"] for r in fresh._read().collect()} == {99}
 
 
+def test_history_manifest_sequence_parses_numerically(spark, tmp_path):
+    """Past seq 999999 the %06d name stops zero-padding; the live manifest
+    must be the max PARSED sequence, not the lexicographic max."""
+    import json as _json
+
+    root = tmp_path / "hist"
+    root.mkdir()
+    for seq in (999999, 1000000):
+        (root / f"manifest-{seq:06d}.json").write_text(
+            _json.dumps({"n_buckets": 4, "seq": seq, "gens": {}})
+        )
+    store = HistoryStore(spark, str(root), n_buckets=4)
+    assert store._manifest()["seq"] == 1000000
+
+
 def test_history_corruption_surfaces(spark, tmp_path):
     """A manifest referencing missing generation data raises instead of
     silently resetting differential history (which would re-emit every

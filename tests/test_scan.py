@@ -1,0 +1,52 @@
+"""Distributed prefix sum + sequence packing (operators/scan.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gtfsrt2lc_spark.operators.scan import prefix_sum, sequence_pack
+
+
+def test_prefix_sum_matches_window_form(spark):
+    """The two-phase scan equals the single-reducer window cumsum exactly,
+    across partition counts."""
+    df = spark.range(0, 1000).select(
+        F.col("id"), ((F.col("id") * 37) % 100 + 1).alias("v")
+    )
+    expected = {
+        r["id"]: r["c"]
+        for r in df.withColumn(
+            "c", F.sum("v").over(Window.orderBy("id"))
+        ).collect()
+    }
+    for n in (1, 3, 16):
+        got = {
+            r["id"]: r["running_total"]
+            for r in prefix_sum(df, "id", "v", num_partitions=n).collect()
+        }
+        assert got == expected, f"num_partitions={n}"
+
+
+def test_prefix_sum_never_single_partitions(spark):
+    """Plan-shape guard: the scan must not collapse to a SinglePartition
+    exchange (the global-window anti-pattern it replaces)."""
+    df = spark.range(0, 100).select(F.col("id"), F.lit(2).alias("v"))
+    out = prefix_sum(df, "id", "v", num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_sequence_pack_bins(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, 40), (3, 30), (4, 200), (5, 10)], "doc long, n long"
+    )
+    got = {r["doc"]: (r["offset"], r["bin"], r["overflow"])
+           for r in sequence_pack(df, "doc", "n", capacity=100).collect()}
+    assert got == {
+        1: (0, 0, False),     # tokens 0-49   -> bin 0
+        2: (50, 0, False),    # tokens 50-89  -> bin 0
+        3: (90, 0, False),    # starts at 90  -> bin 0 (spans into 1)
+        4: (120, 1, True),    # 200 > capacity -> overflow
+        5: (320, 3, False),
+    }

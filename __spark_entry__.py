@@ -717,6 +717,53 @@ def q_connected_components(spark, sf_dir):
     ).where(F.col("size") > 1)
 
 
+def _pii_injected(col_text, col_id):
+    """text || deterministic doc_id-derived PII — shared by q_pii_scrub and
+    q_corpus_clean (and replicated verbatim in their oracles)."""
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        col_text,
+        F.lit(" contact user"), s(col_id),
+        F.lit("@mail"), s(col_id % 7), F.lit(".example.com via 10."),
+        s(col_id % 256), F.lit("."),
+        s((col_id * 7) % 256), F.lit("."),
+        s(col_id % 100),
+        F.lit(" or +1-555-"), s(F.lit(1000) + col_id % 9000),
+    )
+
+
+def q_corpus_clean(spark, sf_dir):
+    """The Dolma/CCNet-style cleaning chain, composed end-to-end from the
+    individually-oracled stages: quality gate -> PII scrub -> corpus-wide
+    exact dedup. PII (deterministic, doc_id-derived) is injected BEFORE the
+    chain: every document's raw text is unique because of its PII, yet
+    documents identical up to PII still collapse in the dedup — the reason
+    real pipelines scrub before dedup. Output: surviving docs with quality
+    and scrubbed length."""
+    from gtfsrt2lc_spark.functions.scrub import redact_pii
+    from gtfsrt2lc_spark.operators.dedup import dedup_exact
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
+    stop_ratio = _lang_score(toks, _STOPWORDS["en"]).cast("double") / n_toks.cast("double")
+    quality = F.round(
+        uniq_ratio * 0.5 + stop_ratio * 0.3
+        + F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.2, 6
+    )
+    gated = d.select(
+        "doc_id", "lang", "text", quality.alias("quality")
+    ).where((F.col("quality") >= 0.42) & (F.col("lang") == "en"))
+    scrubbed = gated.select(
+        "doc_id", "quality",
+        redact_pii(_pii_injected(F.col("text"), F.col("doc_id"))).alias("clean"),
+    )
+    return dedup_exact(scrubbed, "clean", "doc_id").select(
+        "doc_id", "quality", F.length("clean").cast("long").alias("clean_len")
+    )
+
+
 def q_sequence_packing(spark, sf_dir):
     """Training-batch construction: sequential fixed-capacity packing of the
     corpus token stream (here n_chars as the length proxy) in doc_id order.
@@ -761,16 +808,7 @@ def q_pii_scrub(spark, sf_dir):
     from gtfsrt2lc_spark.functions.scrub import pii_counts, redact_pii
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
-    s = lambda c: c.cast("string")  # noqa: E731
-    injected = F.concat(
-        F.col("text"),
-        F.lit(" contact user"), s(F.col("doc_id")),
-        F.lit("@mail"), s(F.col("doc_id") % 7), F.lit(".example.com via 10."),
-        s(F.col("doc_id") % 256), F.lit("."),
-        s((F.col("doc_id") * 7) % 256), F.lit("."),
-        s(F.col("doc_id") % 100),
-        F.lit(" or +1-555-"), s(F.lit(1000) + F.col("doc_id") % 9000),
-    )
+    injected = _pii_injected(F.col("text"), F.col("doc_id"))
     counts = pii_counts(injected)
     clean = redact_pii(injected)
     return d.select(
@@ -953,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "neardup_clusters": q_neardup_clusters,
         "sequence_packing": q_sequence_packing,
+        "corpus_clean": q_corpus_clean,
     }
 
 
@@ -1712,6 +1751,7 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_neardup"] = _oracle_minhash_sql()
     sql["repair_pass"] = _repair_oracle_sql()
     sql["pii_scrub"] = _pii_scrub_oracle_sql()
+    sql["corpus_clean"] = _corpus_clean_oracle_sql()
     sql["sequence_packing"] = """
         WITH c AS (
             SELECT doc_id, n_chars,
@@ -1768,33 +1808,42 @@ def oracle_sql() -> dict[str, str]:
     return sql
 
 
+# SQL twins of _pii_injected / scrub.redact_pii (DuckDB needs the explicit
+# 'g' flag where Spark's regexp_replace is global by default)
+_PII_INJECT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example.com via 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'"
+    " || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' or +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+
+
+def _redact_sql(expr: str) -> str:
+    from gtfsrt2lc_spark.functions.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), '{IPV4_RE}', '<IP>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g')"
+    )
+
+
 def _pii_scrub_oracle_sql() -> str:
     """Verbatim replay of q_pii_scrub: same injected PII (doc_id arithmetic),
     same Java/RE2-compatible patterns (functions/scrub.py), same redaction
-    order (emails, then IPs, then phones); DuckDB needs the explicit 'g'
-    flag where Spark's regexp_replace is global by default."""
+    order (emails, then IPs, then phones)."""
     from gtfsrt2lc_spark.functions.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
 
     return f"""
         WITH inj AS (
-            SELECT doc_id,
-                   text || ' contact user' || CAST(doc_id AS VARCHAR)
-                        || '@mail' || CAST(doc_id % 7 AS VARCHAR)
-                        || '.example.com via 10.'
-                        || CAST(doc_id % 256 AS VARCHAR) || '.'
-                        || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
-                        || CAST(doc_id % 100 AS VARCHAR)
-                        || ' or +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
-                   AS t
+            SELECT doc_id, {_PII_INJECT_SQL} AS t
             FROM documents WHERE doc_id < 400
         ),
         red AS (
-            SELECT doc_id, t,
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
-                       '{IPV4_RE}', '<IP>', 'g'),
-                     '{PHONE_RE}', '<PHONE>', 'g') AS clean
+            SELECT doc_id, t, {_redact_sql('t')} AS clean
             FROM inj
         )
         SELECT doc_id,
@@ -1804,6 +1853,38 @@ def _pii_scrub_oracle_sql() -> str:
                CAST(length(clean) AS BIGINT) AS clean_len,
                right(clean, 60) AS tail
         FROM red
+    """
+
+
+def _corpus_clean_oracle_sql() -> str:
+    """Replay of q_corpus_clean: quality gate -> inject + scrub -> exact
+    dedup keeping min doc_id per distinct scrubbed text."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id, lang, text,
+                   {_TOKENS_SQL.format(s='text')} AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang, text,
+                   ROUND(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE * 0.5 +
+                         len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','for','on')))::DOUBLE
+                             / len(toks)::DOUBLE * 0.3 +
+                         least(len(toks) / 100.0, 1.0) * 0.2, 6) AS quality
+            FROM t
+        ),
+        gated AS (
+            SELECT * FROM scored WHERE quality >= 0.42 AND lang = 'en'
+        ),
+        red AS (
+            SELECT doc_id, quality, {_redact_sql(_PII_INJECT_SQL)} AS clean
+            FROM gated
+        ),
+        winners AS (
+            SELECT clean, MIN(doc_id) AS keeper FROM red GROUP BY clean
+        )
+        SELECT r.doc_id, r.quality, CAST(length(r.clean) AS BIGINT) AS clean_len
+        FROM red r JOIN winners w ON w.clean = r.clean AND w.keeper = r.doc_id
     """
 
 

@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "pii_scrub",
     "paragraph_dedup",
     "repair_pass",
+    "sequence_packing",
+    "corpus_clean",
+    "neardup_clusters",
     "ann_cosine_topk",
     "svo_extract",
     "kg_pipeline_docs",

@@ -2,11 +2,21 @@
 
 ``F.sum().over(Window.orderBy(...))`` with no partition key collapses to a
 SINGLE-partition exchange — the classic Spark scan anti-pattern: one reducer
-streams the whole corpus. ``prefix_sum`` is the scale path: range-partition
-by the order column (ordered partitions), aggregate one subtotal per
-partition, prefix-scan the P subtotals driver-side (P values, KBs), and add
-each partition's offset in a narrow Arrow pass. The result is the EXACT
-global running sum, independent of partitioning.
+streams the whole corpus. ``prefix_sum`` is the scale path:
+
+  1. one cheap aggregate finds (min, max) of the order column;
+  2. a DETERMINISTIC bucket id is computed per row from uniform value ranges
+     (a plain column expression — no sampling, no partition-layout
+     dependence, nothing to checkpoint);
+  3. one subtotal row per bucket is collected and prefix-scanned on the
+     driver (<= n values, KBs);
+  4. ``applyInPandas`` per bucket sorts the bucket, cumsums, and adds the
+     bucket's base offset.
+
+The result is the EXACT global running sum, independent of partitioning and
+cluster layout. Buckets hold ~|df|/n rows each (uniform order values), so
+``num_partitions`` bounds per-task memory; skewed order distributions skew
+bucket sizes but never correctness.
 
 ``sequence_pack`` builds on it: assign documents (in deterministic id order)
 to fixed-capacity token bins by their starting offset — the sequential
@@ -16,7 +26,7 @@ packing a streaming pre-training corpus actually uses (bin boundary = every
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator  # noqa: F401  (doc parity with siblings)
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -32,45 +42,43 @@ def prefix_sum(
 ) -> DataFrame:
     """Exact inclusive running sum of ``value_col`` in ``order_col`` order.
 
-    Two-phase scan (no single-reducer window): range repartition + in-
-    partition sort give globally ordered partitions; per-partition subtotals
-    (one row each) prefix-scan on the driver; a narrow mapInPandas adds each
-    partition's base offset to its local cumulative sum. ``order_col``
-    values must be distinct (they define the order)."""
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = (
-        df.repartitionByRange(n, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    # stage so the subtotal pass and the scan pass see identical partitions
-    # (repartitionByRange samples; two separate computations could disagree)
-    part = part.localCheckpoint(eager=True)
+    ``order_col`` must be numeric with distinct values (it defines the
+    order); ``value_col`` must be non-null."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    mm = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).first()
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} bigint"
+    if mm["lo"] is None:  # empty input
+        return spark.createDataFrame([], out_schema)
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    span = (hi - lo) or 1.0
+    pid = F.least(
+        F.floor((F.col(order_col) - F.lit(lo)) / F.lit(span) * n), F.lit(n - 1)
+    ).cast("int")
+    part = df.withColumn("_pid", pid)
+
     subtotals = {
         r["_pid"]: r["s"]
         for r in part.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
     }  # <= n rows — bounded driver collect
-    bases = {}
-    acc = 0
-    for pid in sorted(subtotals):
-        bases[pid] = acc
-        acc += subtotals[pid] or 0
-    b_bases = df.sparkSession.sparkContext.broadcast(bases)
+    bases, acc = {}, 0
+    for p in sorted(subtotals):
+        bases[p] = acc
+        acc += subtotals[p] or 0
+    b_bases = spark.sparkContext.broadcast(bases)
 
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + f", {out_col} bigint"
+    def add(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        base = b_bases.value.get(int(pdf["_pid"].iloc[0]), 0)
+        return pdf.assign(
+            **{out_col: pdf[value_col].cumsum() + base}
+        ).drop(columns=["_pid"])
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        running = None  # carried across batches within one partition
-        for pdf in batches:
-            if running is None:
-                running = b_bases.value.get(int(pdf["_pid"].iloc[0]), 0) if len(pdf) else 0
-            cum = pdf[value_col].cumsum() + running
-            running = int(cum.iloc[-1]) if len(pdf) else running
-            yield pdf.assign(**{out_col: cum}).drop(columns=["_pid"])
-
-    return part.mapInPandas(op, schema=schema)
+    return part.groupBy("_pid").applyInPandas(add, schema=out_schema)
 
 
 def sequence_pack(

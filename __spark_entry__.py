@@ -717,6 +717,148 @@ def q_connected_components(spark, sf_dir):
     ).where(F.col("size") > 1)
 
 
+_ALIGN_N_STATICS = 30
+
+
+def _align_statics(grp: int) -> list[dict]:
+    out = []
+    for seq in range(_ALIGN_N_STATICS):
+        total_a, total_d = 600 * seq, 600 * seq + 60
+        out.append({
+            "stop_id": str(seq),
+            "stop_sequence": seq + 1,
+            "arrival_time": f"{total_a // 3600}:{(total_a % 3600) // 60:02d}:{total_a % 60:02d}",
+            "departure_time": f"{total_d // 3600}:{(total_d % 3600) // 60:02d}:{total_d % 60:02d}",
+            "pickup_type": f"pu{(grp + seq) % 4}",
+            "drop_off_type": f"do{(grp + 2 * seq) % 4}",
+        })
+    return out
+
+
+def _align_lives(grp: int) -> list[dict]:
+    """Ordered live updates for one trip, exercising every alignment branch:
+    direct stop_id match, stop_sequence-preferred match (including one that
+    CONTRADICTS the stop_id — sequence wins, ref lib/Gtfsrt2LC.js:454-462),
+    unnamed skip-lives (P6), gaps (W2 fill), a leading gap with
+    arrival-bearing first live (W3 synthetic row, grp % 5 == 0), and a
+    stuck unknown-named live near the tail (grp % 7 == 3) that turns the
+    remainder of the trip into fills. Delay/time field patterns reuse the
+    repair_pass cases so the matched stops also sweep W4-W8."""
+    lives = []
+    for seq in range(_ALIGN_N_STATICS):
+        if grp % 5 == 0 and seq < 2:
+            continue  # leading gap -> first live targets seq 2
+        c2 = (grp + seq) % 6
+        if c2 in (4, 5):
+            continue  # gap -> W2 fill
+        if c2 == 3:
+            # unnamed skip-live: consumed by P6 (li advances, static skipped)
+            lives.append({
+                "stop_id": None, "stop_sequence": None,
+                "arrival_delay": None, "arrival_time": None,
+                "departure_delay": 30, "departure_time": None,
+                "schedule_relationship": None,
+            })
+            continue
+        d = 60 + 10 * ((grp * 2 + seq) % 5)
+        c = (grp * 2 + seq) % 8
+        sa = _REPAIR_DAY0 + 600 * seq
+        sd = sa + 60
+        ld = lt = ad = at = None
+        if c == 0:
+            ld, lt, ad, at = d, sd + d, d, sa + d
+        elif c == 1:
+            ld, ad = d, d
+        elif c == 2:
+            lt, at = sd + d, sa + d
+        elif c == 3:
+            ad = d
+        elif c == 4:
+            ld = -(300 + d)
+        elif c == 5:
+            ld = d
+        elif c == 6:
+            ld = 400 + d if seq >= 20 else None
+        else:
+            ld, at = d, sa - 600
+        if grp % 5 == 0 and seq == 2:
+            ad = d  # W3 needs the FIRST live to carry arrival info
+        if c2 == 0:
+            sid, ss = str(seq), None
+        elif c2 == 1:
+            sid, ss = None, seq + 1
+        else:  # c2 == 2: contradictory stop_id; stop_sequence must win
+            sid, ss = str((seq + 5) % _ALIGN_N_STATICS), seq + 1
+        lives.append({
+            "stop_id": sid, "stop_sequence": ss,
+            "arrival_delay": ad, "arrival_time": at,
+            "departure_delay": ld, "departure_time": lt,
+            "schedule_relationship": f"sr{seq % 3}" if seq % 4 == 0 else None,
+        })
+    if grp % 7 == 3:
+        # unknown-NAMED live: live_stop resolves to a name absent from the
+        # statics, so it never matches and never advances — every remaining
+        # static takes the W2 fill branch (ref :490-508 fall-through)
+        lives.append({
+            "stop_id": "XX", "stop_sequence": None,
+            "arrival_delay": 5, "arrival_time": None,
+            "departure_delay": 5, "departure_time": None,
+            "schedule_relationship": None,
+        })
+    return lives
+
+
+def q_alignment_pass(spark, sf_dir):
+    """W1-W3 + P6 + W9/W10: the FULL schedule<->update alignment and
+    pairwise connection formation (completeUpdates + pairing,
+    ref lib/Gtfsrt2LC.js:438-530 + :158-229), driver-visible. The REAL
+    _repair_and_pair runs via mapInPandas over a deterministic 40-trip grid
+    derived from events.event_id; the oracle replays the ordered walk
+    (live-pointer state machine + checkUpdate recurrence + retroactive
+    rewrites + pd_index pairing) as a recursive CTE."""
+    import pandas as pd
+
+    from gtfsrt2lc_spark.plans.gtfs import _repair_and_pair
+
+    def build(pdf: pd.DataFrame):
+        rows = []
+        for grp in sorted(set(int(g) for g in pdf["grp"])):
+            rows.append({
+                "type": "Connection",
+                "trip_id": f"T{grp}",
+                "route_id": f"R{grp % 7}",
+                "service_day": "20240115",
+                "trip_start_time": _REPAIR_DAY0,
+                "service_day_unix": _REPAIR_DAY0,
+                "timestamp": _REPAIR_TS,
+                "headsign": f"H{grp}",
+                "static_stops": _align_statics(grp),
+                "stop_time_updates": _align_lives(grp),
+            })
+        out = _repair_and_pair(pd.DataFrame(rows))
+        return out
+
+    grps = _t(spark, sf_dir, "events").where(F.col("event_id") < 40).select(
+        (F.col("event_id") % 40).alias("grp")
+    )
+    schema = (
+        "type string, trip_id string, route_id string, service_day string, "
+        "trip_start_time bigint, departure_stop string, arrival_stop string, "
+        "departure_time bigint, arrival_time bigint, departure_delay bigint, "
+        "arrival_delay bigint, headsign string, pickup_type string, "
+        "drop_off_type string, static_departure_time string, "
+        "static_arrival_time string"
+    )
+    conns = grps.repartition(8, "grp").mapInPandas(
+        lambda it: (build(pdf) for pdf in it), schema=schema
+    )
+    return conns.select(
+        "trip_id", "departure_stop", "arrival_stop",
+        "departure_time", "arrival_time", "departure_delay", "arrival_delay",
+        "pickup_type", "drop_off_type",
+    )
+
+
 def _pii_injected(col_text, col_id):
     """text || deterministic doc_id-derived PII — shared by q_pii_scrub and
     q_corpus_clean (and replicated verbatim in their oracles)."""
@@ -992,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "sequence_packing": q_sequence_packing,
         "corpus_clean": q_corpus_clean,
+        "alignment_pass": q_alignment_pass,
     }
 
 
@@ -1322,6 +1465,234 @@ def _repair_oracle_sql() -> str:
                          THEN LEAD(p_dt_new) OVER w ELSE dt END AS BIGINT) AS dep_time
         FROM rec
         WINDOW w AS (PARTITION BY grp ORDER BY seq)
+    """
+
+
+def _alignment_oracle_sql() -> str:
+    """Recursive-CTE replay of q_alignment_pass: the completeUpdates walk
+    (live-pointer state machine over 30 statics: stop_sequence-preferred
+    match, P6 skip, W2 fill, W3 synthetic, stuck unknown-name fall-through)
+    with the full checkUpdate recurrence per matched stop (W4-W8 incl.
+    retroactive rewrites applied via LEAD), then the pd_index pairing
+    (W9/W10) with RT scheduleRelationship overriding the static
+    pickup/drop-off. Statics are pure arithmetic; lives are synthesized
+    from (grp, seq) exactly as _align_lives does."""
+    d0, ts, n = _REPAIR_DAY0, _REPAIR_TS, _ALIGN_N_STATICS
+    return f"""
+        WITH RECURSIVE
+        grps AS MATERIALIZED (
+            SELECT CAST(event_id AS BIGINT) AS grp FROM events WHERE event_id < 40
+        ),
+        lives_raw AS (
+            SELECT grp, seq * 10 AS ord, c2, seq,
+                   CASE WHEN c2 = 3 THEN NULL
+                        WHEN c2 = 0 THEN CAST(seq AS VARCHAR)
+                        WHEN c2 = 2 THEN CAST((seq + 5) % {n} AS VARCHAR)
+                        END AS sid,
+                   CASE WHEN c2 IN (1, 2) THEN seq + 1 END AS ss,
+                   CASE WHEN c2 = 3 THEN 30
+                        WHEN c IN (0, 1, 5, 7) THEN d
+                        WHEN c = 4 THEN -(300 + d)
+                        WHEN c = 6 AND seq >= 20 THEN 400 + d END AS ld,
+                   CASE WHEN c2 <> 3 AND c = 0 THEN sd + d
+                        WHEN c2 <> 3 AND c = 2 THEN sd + d END AS lt,
+                   CASE WHEN c2 <> 3 AND grp % 5 = 0 AND seq = 2 THEN d
+                        WHEN c2 <> 3 AND c IN (0, 1, 3) THEN d END AS ad0,
+                   CASE WHEN c2 = 3 THEN NULL
+                        WHEN c IN (0, 2) THEN sa + d
+                        WHEN c = 7 THEN sa - 600 END AS at0,
+                   CASE WHEN c2 <> 3 AND seq % 4 = 0
+                        THEN 'sr' || CAST(seq % 3 AS VARCHAR) END AS sr
+            FROM (
+                SELECT grp, seq,
+                       (grp + seq) % 6 AS c2,
+                       (grp * 2 + seq) % 8 AS c,
+                       60 + 10 * ((grp * 2 + seq) % 5) AS d,
+                       {d0} + 600 * seq AS sa,
+                       {d0} + 600 * seq + 60 AS sd
+                FROM grps CROSS JOIN (SELECT unnest(range(0, {n})) AS seq) _s
+                WHERE NOT (grp % 5 = 0 AND seq < 2)
+                  AND (grp + seq) % 6 NOT IN (4, 5)
+            ) _f
+            UNION ALL
+            SELECT grp, 1000 AS ord, -1 AS c2, NULL AS seq,
+                   'XX' AS sid, NULL AS ss, 5 AS ld, NULL AS lt,
+                   5 AS ad0, NULL AS at0, NULL AS sr
+            FROM grps WHERE grp % 7 = 3
+        ),
+        lives AS MATERIALIZED (
+            SELECT grp, sid, ld, lt, ad0, at0, sr,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY ord) - 1 AS li,
+                   live_stop,
+                   CASE WHEN TRY_CAST(live_stop AS INT) BETWEEN 0 AND {n - 1}
+                        THEN CAST(live_stop AS INT) END AS target,
+                   live_stop IS NOT NULL AS named
+            FROM (
+                SELECT *,
+                       CASE WHEN ss IS NOT NULL AND ss BETWEEN 1 AND {n}
+                            THEN CAST(ss - 1 AS VARCHAR) ELSE sid END AS live_stop
+                FROM lives_raw
+            ) _lr
+        ),
+        rec AS (
+            SELECT grp, -1 AS i, CAST(0 AS BIGINT) AS li, 0 AS cnt,
+                   CAST(NULL AS BIGINT) AS l_dd, CAST(NULL AS BIGINT) AS l_dt,
+                   'none' AS kind, CAST(NULL AS VARCHAR) AS stop_id,
+                   CAST(NULL AS BIGINT) AS e_ad, CAST(NULL AS BIGINT) AS e_at,
+                   CAST(NULL AS BIGINT) AS e_dd, CAST(NULL AS BIGINT) AS e_dt,
+                   CAST(NULL AS VARCHAR) AS sr, FALSE AS rw,
+                   CAST(NULL AS BIGINT) AS p_dd_new, CAST(NULL AS BIGINT) AS p_dt_new
+            FROM grps
+            UNION ALL
+            SELECT grp, ni, li0 + CASE WHEN is_match OR is_skip THEN 1 ELSE 0 END,
+                   cnt0 + CASE WHEN kind2 <> 'none' THEN 1 ELSE 0 END,
+                   CAST(CASE WHEN kind2 <> 'none' THEN em_dd ELSE l_dd0 END AS BIGINT),
+                   CAST(CASE WHEN kind2 <> 'none' THEN em_dt ELSE l_dt0 END AS BIGINT),
+                   kind2,
+                   CASE WHEN kind2 = 'match' THEN COALESCE(lv_sid, CAST(ni AS VARCHAR))
+                        WHEN kind2 <> 'none' THEN CAST(ni AS VARCHAR) END,
+                   CAST(CASE WHEN kind2 = 'match' THEN ad4
+                             WHEN kind2 = 'fill' THEN l_dd0 END AS BIGINT),
+                   CAST(CASE WHEN kind2 = 'match' THEN at4
+                             WHEN kind2 = 'fill' THEN sa + l_dd0 END AS BIGINT),
+                   CAST(em_dd AS BIGINT), CAST(em_dt AS BIGINT),
+                   CASE WHEN kind2 = 'match' THEN lv_sr END,
+                   CASE WHEN kind2 = 'match' THEN rw0 ELSE FALSE END,
+                   CAST(p_ddn AS BIGINT), CAST(p_dtn AS BIGINT)
+            FROM (
+              SELECT *,
+                     CASE WHEN is_match THEN 'match'
+                          WHEN is_skip THEN 'none'
+                          WHEN cnt0 > 0 AND li0 > 0 THEN 'fill'
+                          WHEN li0 = 0 AND lv_target IS NOT NULL
+                               AND ni = lv_target - 1
+                               AND (lv_ad0 IS NOT NULL OR lv_at0 IS NOT NULL)
+                               THEN 'synth'
+                          ELSE 'none' END AS kind2,
+                     CASE WHEN is_match THEN dd4
+                          WHEN cnt0 > 0 AND li0 > 0 AND NOT is_skip THEN l_dd0
+                          ELSE 0 END AS em_dd,
+                     CASE WHEN is_match THEN dt4
+                          WHEN cnt0 > 0 AND li0 > 0 AND NOT is_skip THEN sd + l_dd0
+                          ELSE sd END AS em_dt
+              FROM (
+                SELECT *,
+                       CASE WHEN w8 THEN pdd8 ELSE ad3 END AS ad4,
+                       CASE WHEN w8 THEN sa + pdd8 ELSE at3 END AS at4,
+                       CASE WHEN w8 AND sa + pdd8 > dt3 THEN pdd8 ELSE dd3 END AS dd4,
+                       CASE WHEN w8 AND sa + pdd8 > dt3 THEN sd + pdd8 ELSE dt3 END AS dt4
+                FROM (
+                  SELECT *, (hp AND ep_dt > at3) AS w8, COALESCE(ep_dd, 0) AS pdd8
+                  FROM (
+                    SELECT *,
+                           CASE WHEN rw0 THEN p_ddn ELSE l_dd0 END AS ep_dd,
+                           CASE WHEN rw0 THEN p_dtn ELSE l_dt0 END AS ep_dt
+                    FROM (
+                      SELECT *,
+                             CASE WHEN NOT ha THEN
+                                    CASE WHEN NOT hp THEN dd2
+                                         WHEN b1 THEN pdd
+                                         WHEN fact THEN dd2
+                                         ELSE pdd END
+                                  ELSE ad1 END AS ad3,
+                             CASE WHEN NOT ha THEN
+                                    CASE WHEN NOT hp THEN dt2
+                                         WHEN b1 THEN sa + pdd
+                                         WHEN fact THEN sa + dd2
+                                         ELSE sa + pdd END
+                                  ELSE at1 END AS at3,
+                             CASE WHEN NOT ha AND hp AND NOT b1 AND NOT fact
+                                  THEN pdd ELSE dd2 END AS dd3,
+                             CASE WHEN NOT ha AND hp AND NOT b1 AND NOT fact
+                                  THEN sd + pdd ELSE dt2 END AS dt3,
+                             (NOT ha AND hp AND NOT b1 AND fact) AS rw0,
+                             dd2 AS p_ddn,
+                             l_dt0 - pdd + dd2 AS p_dtn
+                      FROM (
+                        SELECT *, (sa + pdd <= dt2) AS b1, (dt2 < {ts}) AS fact
+                        FROM (
+                          SELECT *,
+                                 CASE WHEN NOT hd THEN
+                                        CASE WHEN ni < {n - 1} AND ha
+                                             THEN COALESCE(ad1, 0) ELSE 0 END
+                                      ELSE dd1 END AS dd2,
+                                 CASE WHEN NOT hd THEN
+                                        CASE WHEN ni < {n - 1} AND ha
+                                             THEN sd + COALESCE(ad1, 0) ELSE sd END
+                                      ELSE dt1 END AS dt2,
+                                 COALESCE(l_dd0, 0) AS pdd
+                          FROM (
+                            SELECT *,
+                                   CASE WHEN hd AND (lv_lt IS NULL OR lv_lt = 0)
+                                        THEN sd + COALESCE(dd1, 0) ELSE lv_lt END AS dt1,
+                                   CASE WHEN ha AND (lv_at0 IS NULL OR lv_at0 = 0)
+                                        THEN sa + COALESCE(ad1, 0) ELSE lv_at0 END AS at1
+                            FROM (
+                              SELECT *,
+                                     CASE WHEN hd AND lv_lt IS NOT NULL AND lv_lt <> 0
+                                               AND lv_ld IS NULL
+                                          THEN lv_lt - sd ELSE lv_ld END AS dd1,
+                                     CASE WHEN ha AND lv_at0 IS NOT NULL AND lv_at0 <> 0
+                                               AND lv_ad0 IS NULL
+                                          THEN lv_at0 - sa ELSE lv_ad0 END AS ad1
+                              FROM (
+                                SELECT r.grp AS grp, r.i + 1 AS ni,
+                                       r.li AS li0, r.cnt AS cnt0,
+                                       r.l_dd AS l_dd0, r.l_dt AS l_dt0,
+                                       lv.sid AS lv_sid, lv.ld AS lv_ld,
+                                       lv.lt AS lv_lt, lv.ad0 AS lv_ad0,
+                                       lv.at0 AS lv_at0, lv.sr AS lv_sr,
+                                       lv.target AS lv_target,
+                                       {d0} + 600 * (r.i + 1) AS sa,
+                                       {d0} + 600 * (r.i + 1) + 60 AS sd,
+                                       (lv.target IS NOT NULL AND lv.target = r.i + 1) AS is_match,
+                                       (lv.li IS NOT NULL AND NOT lv.named
+                                        AND NOT (lv.target IS NOT NULL AND lv.target = r.i + 1)) AS is_skip,
+                                       (r.cnt > 0) AS hp,
+                                       ((lv.ld IS NOT NULL)
+                                        OR (lv.lt IS NOT NULL AND lv.lt <> 0)) AS hd,
+                                       ((lv.ad0 IS NOT NULL)
+                                        OR (lv.at0 IS NOT NULL AND lv.at0 <> 0)) AS ha
+                                FROM rec r
+                                LEFT JOIN lives lv ON lv.grp = r.grp AND lv.li = r.li
+                                WHERE r.i < {n - 1}
+                              ) _s0
+                            ) _s1
+                          ) _s2
+                        ) _s3
+                      ) _s4
+                    ) _s5
+                  ) _s6
+                ) _s7
+              ) _s8
+            ) _s9
+        ),
+        emitted AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY i) - 1 AS j
+            FROM rec WHERE kind <> 'none'
+        ),
+        fixed AS (
+            SELECT *,
+                   CASE WHEN COALESCE(LEAD(rw) OVER w, FALSE)
+                        THEN LEAD(p_dd_new) OVER w ELSE e_dd END AS f_dd,
+                   CASE WHEN COALESCE(LEAD(rw) OVER w, FALSE)
+                        THEN LEAD(p_dt_new) OVER w ELSE e_dt END AS f_dt
+            FROM emitted WINDOW w AS (PARTITION BY grp ORDER BY i)
+        ),
+        pd0 AS (SELECT grp, CAST(stop_id AS INT) AS p0 FROM fixed WHERE j = 0)
+        SELECT 'T' || CAST(cu.grp AS VARCHAR) AS trip_id,
+               cu.stop_id AS departure_stop,
+               ncu.stop_id AS arrival_stop,
+               CAST(cu.f_dt AS BIGINT) AS departure_time,
+               CAST(ncu.e_at AS BIGINT) AS arrival_time,
+               CAST(COALESCE(cu.f_dd, 0) AS BIGINT) AS departure_delay,
+               CAST(COALESCE(ncu.e_ad, 0) AS BIGINT) AS arrival_delay,
+               COALESCE(cu.sr, 'pu' || CAST((cu.grp + p.p0 + cu.j) % 4 AS VARCHAR)) AS pickup_type,
+               COALESCE(ncu.sr, 'do' || CAST((cu.grp + 2 * (p.p0 + cu.j + 1)) % 4 AS VARCHAR)) AS drop_off_type
+        FROM fixed cu
+        JOIN fixed ncu ON ncu.grp = cu.grp AND ncu.j = cu.j + 1
+        JOIN pd0 p ON p.grp = cu.grp
+        WHERE p.p0 + cu.j + 1 < {n}
     """
 
 
@@ -1752,6 +2123,7 @@ def oracle_sql() -> dict[str, str]:
     sql["repair_pass"] = _repair_oracle_sql()
     sql["pii_scrub"] = _pii_scrub_oracle_sql()
     sql["corpus_clean"] = _corpus_clean_oracle_sql()
+    sql["alignment_pass"] = _alignment_oracle_sql()
     sql["sequence_packing"] = """
         WITH c AS (
             SELECT doc_id, n_chars,

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "sequence_packing",
     "corpus_clean",
     "neardup_clusters",
+    "alignment_pass",
     "ann_cosine_topk",
     "svo_extract",
     "kg_pipeline_docs",

@@ -583,19 +583,30 @@ def q_lang_id(spark, sf_dir):
     )
 
 
-def q_quality_score(spark, sf_dir):
-    """Quality scoring: length/stopword/uniqueness features, rounded."""
-    d = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+def _quality_cols(text_col) -> dict:
+    """The shared quality formula (uniq*0.5 + stopword*0.3 + len*0.2,
+    round 6) — single source for q_quality_score and q_corpus_clean; the
+    SQL twin is _quality_sql()."""
+    toks = tokens(text_col)
     n_toks = F.size(toks)
     uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
     stop_ratio = _lang_score(toks, _STOPWORDS["en"]).cast("double") / n_toks.cast("double")
-    score = F.round(uniq_ratio * 0.5 + stop_ratio * 0.3 + F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.2, 6)
+    quality = F.round(
+        uniq_ratio * 0.5 + stop_ratio * 0.3
+        + F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.2, 6
+    )
+    return {"n_tokens": n_toks, "uniq_ratio": F.round(uniq_ratio, 6), "quality": quality}
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length/stopword/uniqueness features, rounded."""
+    d = _t(spark, sf_dir, "documents")
+    q = _quality_cols(F.col("text"))
     return d.select(
         "doc_id",
-        n_toks.alias("n_tokens"),
-        F.round(uniq_ratio, 6).alias("uniq_ratio"),
-        score.alias("quality"),
+        q["n_tokens"].alias("n_tokens"),
+        q["uniq_ratio"].alias("uniq_ratio"),
+        q["quality"].alias("quality"),
     )
 
 
@@ -886,16 +897,9 @@ def q_corpus_clean(spark, sf_dir):
     from gtfsrt2lc_spark.operators.dedup import dedup_exact
 
     d = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_toks = F.size(toks)
-    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
-    stop_ratio = _lang_score(toks, _STOPWORDS["en"]).cast("double") / n_toks.cast("double")
-    quality = F.round(
-        uniq_ratio * 0.5 + stop_ratio * 0.3
-        + F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.2, 6
-    )
     gated = d.select(
-        "doc_id", "lang", "text", quality.alias("quality")
+        "doc_id", "lang", "text",
+        _quality_cols(F.col("text"))["quality"].alias("quality"),
     ).where((F.col("quality") >= 0.42) & (F.col("lang") == "en"))
     scrubbed = gated.select(
         "doc_id", "quality",
@@ -2022,10 +2026,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(toks) AS n_tokens,
                    ROUND(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 6) AS uniq_ratio,
-                   ROUND(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE * 0.5 +
-                         len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','for','on')))::DOUBLE
-                             / len(toks)::DOUBLE * 0.3 +
-                         least(len(toks) / 100.0, 1.0) * 0.2, 6) AS quality
+                   {_quality_sql()} AS quality
             FROM t
         """,
         "ann_cosine_topk": """
@@ -2228,6 +2229,18 @@ def _pii_scrub_oracle_sql() -> str:
     """
 
 
+def _quality_sql() -> str:
+    """SQL twin of _quality_cols's quality formula (expects a ``toks``
+    column in scope); stopwords interpolated from the same _STOPWORDS list
+    the Spark side uses."""
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    return (
+        "ROUND(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE * 0.5 + "
+        f"len(list_filter(toks, x -> x IN ({stop_list})))::DOUBLE "
+        "/ len(toks)::DOUBLE * 0.3 + least(len(toks) / 100.0, 1.0) * 0.2, 6)"
+    )
+
+
 def _corpus_clean_oracle_sql() -> str:
     """Replay of q_corpus_clean: quality gate -> inject + scrub -> exact
     dedup keeping min doc_id per distinct scrubbed text."""
@@ -2238,11 +2251,7 @@ def _corpus_clean_oracle_sql() -> str:
             FROM documents
         ),
         scored AS (
-            SELECT doc_id, lang, text,
-                   ROUND(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE * 0.5 +
-                         len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','for','on')))::DOUBLE
-                             / len(toks)::DOUBLE * 0.3 +
-                         least(len(toks) / 100.0, 1.0) * 0.2, 6) AS quality
+            SELECT doc_id, lang, text, {_quality_sql()} AS quality
             FROM t
         ),
         gated AS (

@@ -26,8 +26,6 @@ packing a streaming pre-training corpus actually uses (bin boundary = every
 
 from __future__ import annotations
 
-from collections.abc import Iterator  # noqa: F401  (doc parity with siblings)
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,10 +40,15 @@ def prefix_sum(
 ) -> DataFrame:
     """Exact inclusive running sum of ``value_col`` in ``order_col`` order.
 
-    ``order_col`` must be numeric with distinct values (it defines the
-    order); ``value_col`` must be non-null."""
+    ``order_col`` must be numeric, non-null, with distinct values (it
+    defines the order); ``value_col`` must be non-null. The input is
+    persisted for the operator's three passes (min/max, subtotals, scan) —
+    one evaluation instead of three, and the subtotal and scan passes are
+    guaranteed to see the SAME rows even for nondeterministic upstreams;
+    callers may unpersist the input after consuming the result."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    df = df.persist()
     mm = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).first()
@@ -56,15 +59,23 @@ def prefix_sum(
         return spark.createDataFrame([], out_schema)
     lo, hi = float(mm["lo"]), float(mm["hi"])
     span = (hi - lo) or 1.0
-    pid = F.least(
-        F.floor((F.col(order_col) - F.lit(lo)) / F.lit(span) * n), F.lit(n - 1)
-    ).cast("int")
+    # F.least ignores NULL operands, so a NULL order value must map to a
+    # NULL pid explicitly (it then trips the NULL guard below) rather than
+    # silently landing in the last bucket
+    pid = F.when(
+        F.col(order_col).isNotNull(),
+        F.least(
+            F.floor((F.col(order_col) - F.lit(lo)) / F.lit(span) * n), F.lit(n - 1)
+        ).cast("int"),
+    )
     part = df.withColumn("_pid", pid)
 
     subtotals = {
         r["_pid"]: r["s"]
         for r in part.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
     }  # <= n rows — bounded driver collect
+    if None in subtotals:
+        raise ValueError(f"prefix_sum: {order_col!r} contains NULLs")
     bases, acc = {}, 0
     for p in sorted(subtotals):
         bases[p] = acc

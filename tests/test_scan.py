@@ -37,6 +37,14 @@ def test_prefix_sum_never_single_partitions(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_prefix_sum_rejects_null_order(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 5), (None, 7)], "id long, v long")
+    with pytest.raises(ValueError, match="contains NULLs"):
+        prefix_sum(df, "id", "v").collect()
+
+
 def test_sequence_pack_bins(spark):
     df = spark.createDataFrame(
         [(1, 50), (2, 40), (3, 30), (4, 200), (5, 10)], "doc long, n long"

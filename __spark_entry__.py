@@ -819,6 +819,37 @@ def _align_lives(grp: int) -> list[dict]:
     return lives
 
 
+def q_nquads_lines(spark, sf_dir):
+    """S10 serialization as a driver-visible oracle row: quads synthesized
+    from documents — IRI and bnode subjects, IRI and literal objects, and
+    literals deliberately carrying every escapable character (backslash,
+    quote, newline, CR, tab) — rendered by the REAL term/escape/format path
+    (sources/nquads.py); the oracle replays the 5-escape replace chain and
+    term dispatch in SQL."""
+    from gtfsrt2lc_spark.sources.nquads import to_nquads_lines
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    did = F.col("doc_id").cast("string")
+    subj = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.lit("_:b"), did)
+    ).otherwise(F.concat(F.lit("http://example.org/doc/"), did))
+    literal = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(' has \\ and " and '), F.lit("\n"),
+        F.lit("tab\t"), F.lit("cr\r"), F.col("lang"),
+    )
+    obj = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.lit("http://example.org/ref/"), did)
+    ).otherwise(literal)
+    tri = d.select(
+        subj.alias("subj"),
+        F.concat(F.lit("http://example.org/ont#p"), (F.col("doc_id") % 5).cast("string")).alias("pred"),
+        obj.alias("obj"),
+        F.concat(F.lit("http://example.org/graph/"), (F.col("doc_id") % 3).cast("string")).alias("graph"),
+    )
+    return to_nquads_lines(tri)
+
+
 def q_alignment_pass(spark, sf_dir):
     """W1-W3 + P6 + W9/W10: the FULL schedule<->update alignment and
     pairwise connection formation (completeUpdates + pairing,
@@ -1139,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "corpus_clean": q_corpus_clean,
         "alignment_pass": q_alignment_pass,
+        "nquads_lines": q_nquads_lines,
     }
 
 
@@ -2125,6 +2157,36 @@ def oracle_sql() -> dict[str, str]:
     sql["pii_scrub"] = _pii_scrub_oracle_sql()
     sql["corpus_clean"] = _corpus_clean_oracle_sql()
     sql["alignment_pass"] = _alignment_oracle_sql()
+    # esc/term mirror sources/nquads._escape_literal (backslash FIRST) and
+    # term dispatch; DuckDB standard strings do no escape processing, so
+    # '\' is one backslash and '\\' two
+    _esc = (
+        "replace(replace(replace(replace(replace({x}, '\\', '\\\\'), "
+        "'\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+    )
+    _term = (
+        "CASE WHEN starts_with({x}, 'http://') OR starts_with({x}, 'https://') "
+        "THEN '<' || {x} || '>' "
+        "WHEN starts_with({x}, '_:') THEN {x} "
+        "ELSE '\"' || " + _esc.format(x="{x}") + " || '\"' END"
+    )
+    sql["nquads_lines"] = f"""
+        WITH tri AS (
+            SELECT CASE WHEN doc_id % 7 = 0 THEN '_:b' || CAST(doc_id AS VARCHAR)
+                        ELSE 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) END AS subj,
+                   'http://example.org/ont#p' || CAST(doc_id % 5 AS VARCHAR) AS pred,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'http://example.org/ref/' || CAST(doc_id AS VARCHAR)
+                        ELSE substr(text, 1, 40) || ' has \\ and " and ' || chr(10)
+                             || 'tab' || chr(9) || 'cr' || chr(13) || lang END AS obj,
+                   'http://example.org/graph/' || CAST(doc_id % 3 AS VARCHAR) AS graph
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT {_term.format(x='subj')} || ' ' || {_term.format(x='pred')} || ' '
+               || {_term.format(x='obj')} || ' ' || {_term.format(x='graph')}
+               || ' .' AS line
+        FROM tri
+    """
     sql["sequence_packing"] = """
         WITH c AS (
             SELECT doc_id, n_chars,

@@ -850,6 +850,25 @@ def q_nquads_lines(spark, sf_dir):
     return to_nquads_lines(tri)
 
 
+def q_jsonld_nodes(spark, sf_dir):
+    """S8 analog as a driver-visible oracle row: triples synthesized from
+    documents (several docs per subject so set-dedup, per-predicate object
+    arrays, and min-graph provenance all engage) rendered by the REAL
+    NDJSON-LD node writer (sources/jsonld.to_jsonld_lines); the oracle
+    rebuilds byte-identical JSON in DuckDB (json_group_object for the
+    dynamic predicate map, to_json for object arrays)."""
+    from gtfsrt2lc_spark.sources.jsonld import to_jsonld_lines
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    tri = d.select(
+        F.concat(F.lit("ent:s"), (F.col("doc_id") % 20).cast("string")).alias("subj"),
+        F.concat(F.lit("kg:p"), (F.col("doc_id") % 3).cast("string")).alias("pred"),
+        F.concat(F.lit("ent:o"), (F.col("doc_id") % 7).cast("string")).alias("obj"),
+        F.concat(F.lit("http://g/"), (F.col("doc_id") % 4).cast("string")).alias("graph"),
+    )
+    return to_jsonld_lines(tri)
+
+
 def q_alignment_pass(spark, sf_dir):
     """W1-W3 + P6 + W9/W10: the FULL schedule<->update alignment and
     pairwise connection formation (completeUpdates + pairing,
@@ -1171,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "alignment_pass": q_alignment_pass,
         "nquads_lines": q_nquads_lines,
+        "jsonld_nodes": q_jsonld_nodes,
     }
 
 
@@ -2170,6 +2190,37 @@ def oracle_sql() -> dict[str, str]:
         "WHEN starts_with({x}, '_:') THEN {x} "
         "ELSE '\"' || " + _esc.format(x="{x}") + " || '\"' END"
     )
+    sql["jsonld_nodes"] = """
+        WITH tri AS (
+            SELECT 'ent:s' || CAST(doc_id % 20 AS VARCHAR) AS subj,
+                   'kg:p' || CAST(doc_id % 3 AS VARCHAR) AS pred,
+                   'ent:o' || CAST(doc_id % 7 AS VARCHAR) AS obj,
+                   'http://g/' || CAST(doc_id % 4 AS VARCHAR) AS graph
+            FROM documents WHERE doc_id < 300
+        ),
+        pp AS (
+            SELECT subj, pred, list_sort(list(DISTINCT obj)) AS objs,
+                   MIN(graph) AS graph
+            FROM tri GROUP BY subj, pred
+        ),
+        nodes AS (
+            -- props object built manually (json_group_object is a macro and
+            -- cannot ORDER BY): keys in pred order = Spark's sorted
+            -- map_from_entries; to_json handles the JSON string escaping
+            SELECT subj,
+                   '{' || string_agg(
+                       CAST(to_json(pred) AS VARCHAR) || ':'
+                       || CAST(to_json(objs) AS VARCHAR), ',' ORDER BY pred
+                   ) || '}' AS props,
+                   MIN(graph) AS graph
+            FROM pp GROUP BY subj
+        )
+        SELECT '{"@id":' || CAST(to_json(subj) AS VARCHAR)
+               || ',"props":' || props
+               || ',"wasDerivedFrom":' || CAST(to_json(graph) AS VARCHAR)
+               || '}' AS line
+        FROM nodes
+    """
     sql["nquads_lines"] = f"""
         WITH tri AS (
             SELECT CASE WHEN doc_id % 7 = 0 THEN '_:b' || CAST(doc_id AS VARCHAR)

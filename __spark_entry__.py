@@ -850,6 +850,40 @@ def q_nquads_lines(spark, sf_dir):
     return to_nquads_lines(tri)
 
 
+def q_turtle_lines(spark, sf_dir):
+    """S10's Turtle side as a driver-visible oracle row: statement-per-line
+    Turtle with prefixed-name compression (xsd/lc/gtfs namespaces),
+    exercising compressible IRIs, non-compressible locals (PN_LOCAL-unsafe
+    remainder falls back to <full-IRI>), bnodes, plain literals with
+    escapables, and typed literals with a prefixed datatype — rendered by
+    the REAL to_turtle_lines; the oracle replays prefix compression, term
+    dispatch, and escaping in SQL."""
+    from gtfsrt2lc_spark.sources.nquads import to_turtle_lines
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 240)
+    did = F.col("doc_id").cast("string")
+    lc = "http://semweb.mmlab.be/ns/linkedconnections#"
+    gtfs = "http://vocab.gtfs.org/terms#"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    c = F.col("doc_id") % 5
+    obj = (
+        F.when(c == 0, F.concat(F.substring(F.col("text"), 1, 20), F.lit(' q" \\ tab\t.')))
+        .when(c == 1, F.substring(F.col("text"), 1, 25))
+        .when(c == 2, F.concat(F.lit(gtfs + "Stop"), did))
+        .when(c == 3, F.concat(F.lit(gtfs + "a/b"), did))  # '/' fails PN_LOCAL
+        .otherwise(F.concat(F.lit("_:n"), did))
+    )
+    tri = d.select(
+        F.concat(F.lit(lc + "Connection"), did).alias("subj"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(gtfs + "departureStop"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(lc + "departureTime"))
+        .otherwise(F.lit("http://other.example/p")).alias("pred"),
+        obj.alias("obj"),
+        F.when(c == 0, F.lit(xsd + "string")).alias("dt"),
+    )
+    return to_turtle_lines(tri, obj_datatype="dt")
+
+
 def q_jsonld_nodes(spark, sf_dir):
     """S8 analog as a driver-visible oracle row: triples synthesized from
     documents (several docs per subject so set-dedup, per-predicate object
@@ -1191,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alignment_pass": q_alignment_pass,
         "nquads_lines": q_nquads_lines,
         "jsonld_nodes": q_jsonld_nodes,
+        "turtle_lines": q_turtle_lines,
     }
 
 
@@ -2190,6 +2225,61 @@ def oracle_sql() -> dict[str, str]:
         "WHEN starts_with({x}, '_:') THEN {x} "
         "ELSE '\"' || " + _esc.format(x="{x}") + " || '\"' END"
     )
+    # Turtle oracle helpers: pfx() = prefixed-name compression with the
+    # PN_LOCAL-safe guard; tterm() = IRI/bnode/literal dispatch
+    _pnl = "'^[A-Za-z0-9][A-Za-z0-9_.\\-]*$'"
+    _nss = [
+        ("xsd", "http://www.w3.org/2001/XMLSchema#"),
+        ("lc", "http://semweb.mmlab.be/ns/linkedconnections#"),
+        ("gtfs", "http://vocab.gtfs.org/terms#"),
+    ]
+
+    def _pfx_sql(x: str) -> str:
+        cases = " ".join(
+            f"WHEN starts_with({x}, '{ns}') AND "
+            f"regexp_matches(substr({x}, {len(ns) + 1}), {_pnl}) "
+            f"THEN '{p}:' || substr({x}, {len(ns) + 1})"
+            for p, ns in _nss
+        )
+        return (
+            f"CASE {cases} WHEN starts_with({x}, 'http://') OR "
+            f"starts_with({x}, 'https://') THEN '<' || {x} || '>' "
+            f"WHEN starts_with({x}, '_:') THEN {x} "
+            f"ELSE '\"' || {_esc.format(x=x)} || '\"' END"
+        )
+
+    _tlit = f"'\"' || {_esc.format(x='obj')} || '\"'"
+    sql["turtle_lines"] = f"""
+        WITH tri AS (
+            SELECT 'http://semweb.mmlab.be/ns/linkedconnections#Connection'
+                       || CAST(doc_id AS VARCHAR) AS subj,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'http://vocab.gtfs.org/terms#departureStop'
+                        WHEN doc_id % 3 = 1
+                        THEN 'http://semweb.mmlab.be/ns/linkedconnections#departureTime'
+                        ELSE 'http://other.example/p' END AS pred,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN substr(text, 1, 20) || ' q" \\ tab' || chr(9) || '.'
+                        WHEN doc_id % 5 = 1 THEN substr(text, 1, 25)
+                        WHEN doc_id % 5 = 2
+                        THEN 'http://vocab.gtfs.org/terms#Stop' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 5 = 3
+                        THEN 'http://vocab.gtfs.org/terms#a/b' || CAST(doc_id AS VARCHAR)
+                        ELSE '_:n' || CAST(doc_id AS VARCHAR) END AS obj,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'http://www.w3.org/2001/XMLSchema#string' END AS dt
+            FROM documents WHERE doc_id < 240
+        )
+        SELECT {_pfx_sql('subj')} || ' ' || {_pfx_sql('pred')} || ' '
+               || CASE WHEN starts_with(obj, 'http://') OR starts_with(obj, 'https://')
+                       THEN {_pfx_sql('obj')}
+                       WHEN starts_with(obj, '_:') THEN obj
+                       WHEN dt IS NOT NULL
+                       THEN {_tlit} || '^^' || {_pfx_sql('dt')}
+                       ELSE {_tlit} END
+               || ' .' AS line
+        FROM tri
+    """
     sql["jsonld_nodes"] = """
         WITH tri AS (
             SELECT 'ent:s' || CAST(doc_id % 20 AS VARCHAR) AS subj,

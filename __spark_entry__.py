@@ -850,6 +850,33 @@ def q_nquads_lines(spark, sf_dir):
     return to_nquads_lines(tri)
 
 
+def q_csv_lines(spark, sf_dir):
+    """S9 CSV row rendering as a driver-visible oracle row: connection-shaped
+    rows synthesized from documents (struct stop columns, ms-precision ISO
+    timestamps, signed delays) through the REAL connections_to_csv_lines;
+    the oracle rebuilds each line with strftime/concat in SQL."""
+    from gtfsrt2lc_spark.sources.gtfs_serializers import connections_to_csv_lines
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    dep_epoch = F.lit(1_700_000_000) + did * 97 + (did % 7) * 3
+    arr_epoch = dep_epoch + 300 + did % 120
+    conns = d.select(
+        F.when(did % 9 == 0, "CancelledConnection").otherwise("Connection").alias("type"),
+        F.struct(F.concat(F.lit("Stop "), s(did % 40)).alias("stop_name")).alias("departureStop"),
+        F.to_timestamp(dep_epoch).alias("departureTime"),
+        (did % 13 - 4).alias("departure_delay"),
+        F.struct(F.concat(F.lit("Halt "), s(did % 31)).alias("stop_name")).alias("arrivalStop"),
+        F.to_timestamp(arr_epoch).alias("arrivalTime"),
+        (did % 11 - 2).alias("arrival_delay"),
+        F.concat(F.lit("To City "), s(did % 5)).alias("headsign"),
+        F.struct(F.concat(F.lit("trip-"), s(did)).alias("trip_id")).alias("trip"),
+        F.struct(F.concat(F.lit("Line "), s(did % 8)).alias("route_long_name")).alias("route"),
+    )
+    return connections_to_csv_lines(conns)
+
+
 def q_turtle_lines(spark, sf_dir):
     """S10's Turtle side as a driver-visible oracle row: statement-per-line
     Turtle with prefixed-name compression (xsd/lc/gtfs namespaces),
@@ -1226,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_lines": q_nquads_lines,
         "jsonld_nodes": q_jsonld_nodes,
         "turtle_lines": q_turtle_lines,
+        "csv_lines": q_csv_lines,
     }
 
 
@@ -2225,6 +2253,29 @@ def oracle_sql() -> dict[str, str]:
         "WHEN starts_with({x}, '_:') THEN {x} "
         "ELSE '\"' || " + _esc.format(x="{x}") + " || '\"' END"
     )
+    sql["csv_lines"] = """
+        WITH c AS (
+            SELECT doc_id AS did,
+                   1700000000 + doc_id * 97 + (doc_id % 7) * 3 AS dep_epoch,
+                   1700000000 + doc_id * 97 + (doc_id % 7) * 3
+                       + 300 + doc_id % 120 AS arr_epoch
+            FROM documents WHERE doc_id < 250
+        )
+        SELECT CASE WHEN did % 9 = 0 THEN 'CancelledConnection'
+                    ELSE 'Connection' END
+               || ',' || 'Stop ' || CAST(did % 40 AS VARCHAR)
+               || ',' || strftime(make_timestamp(dep_epoch * 1000000),
+                                  '%Y-%m-%dT%H:%M:%S.%gZ')
+               || ',' || CAST(did % 13 - 4 AS VARCHAR)
+               || ',' || 'Halt ' || CAST(did % 31 AS VARCHAR)
+               || ',' || strftime(make_timestamp(arr_epoch * 1000000),
+                                  '%Y-%m-%dT%H:%M:%S.%gZ')
+               || ',' || CAST(did % 11 - 2 AS VARCHAR)
+               || ',' || 'To City ' || CAST(did % 5 AS VARCHAR)
+               || ',' || 'trip-' || CAST(did AS VARCHAR)
+               || ',' || 'Line ' || CAST(did % 8 AS VARCHAR) AS line
+        FROM c
+    """
     # Turtle oracle helpers: pfx() = prefixed-name compression with the
     # PN_LOCAL-safe guard; tterm() = IRI/bnode/literal dispatch
     _pnl = "'^[A-Za-z0-9][A-Za-z0-9_.\\-]*$'"

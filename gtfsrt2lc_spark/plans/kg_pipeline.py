@@ -54,6 +54,7 @@ class KGPipeline:
         fuzzy: bool = True,
         fuzzy_threshold: float = 0.5,
         max_local_surfaces: int | None = 1_000_000,
+        scratch_dir: str | None = None,
     ) -> None:
         self.records = records
         self.surfaces = surfaces
@@ -61,6 +62,12 @@ class KGPipeline:
         self.predicates = predicates
         self.fuzzy = fuzzy
         self.fuzzy_threshold = fuzzy_threshold
+        # Stage checkpoints MUST live on a filesystem every executor can
+        # reach (HDFS/S3A/shared NFS): a driver-local tmp dir silently loses
+        # the partitions other executors wrote on a multi-node cluster.
+        # ``scratch_dir`` is any Hadoop-FS URI (run_incremental supplies an
+        # out_dir-scoped one); the tempfile fallback is for local[*] only.
+        self.scratch_dir = scratch_dir
         # linked() resolves the surface->record mapping driver-side while the
         # distinct surface set stays under this cap (the fast path: one tiny
         # LocalRelation broadcast, zero broadcast-subplan recomputation), and
@@ -70,7 +77,9 @@ class KGPipeline:
         self.max_local_surfaces = max_local_surfaces
         self._canonical_map: DataFrame | None = None
         self._dict_local: dict[str, str] | None = None
-        self._scratch_dirs: list[str] = []
+        self._scratch: list[tuple[str, bool]] = []  # (path, via_hadoop_fs)
+        self._stage_seq = 0
+        self._spark = None
         phrases = sorted(predicates, key=len, reverse=True)
         alt = "|".join(re.escape(p) for p in phrases)
         self._svo_pattern = rf"^({_MENTION}) ({alt}) ({_MENTION})\.$"
@@ -256,21 +265,45 @@ class KGPipeline:
         The engine's stage-checkpoint primitive: truncates the plan, makes
         the intermediate consumable by any number of downstream subplans
         (including broadcast-exchange threads) without block-manager
-        contention or recomputation."""
-        import tempfile
+        contention or recomputation.
 
-        path = tempfile.mkdtemp(prefix="kgstage_")
-        self._scratch_dirs.append(path)
+        Cluster posture: when ``scratch_dir`` is set, stages go to
+        ``<scratch_dir>/stage-NNNN`` through Spark's Hadoop-FS writer, so
+        executors on any node write to (and the re-read scans) the same
+        shared location — the same protocol as HistoryStore commits
+        (plans/gtfs.py). The driver-local ``tempfile`` fallback exists only
+        for local[*] sessions, where driver and executors share one
+        filesystem."""
+        spark = df.sparkSession
+        self._spark = spark
+        if self.scratch_dir is not None:
+            self._stage_seq += 1
+            path = f"{self.scratch_dir.rstrip('/')}/stage-{self._stage_seq:04d}"
+            via_fs = True
+        else:
+            import tempfile
+
+            path = tempfile.mkdtemp(prefix="kgstage_")
+            via_fs = False
+        self._scratch.append((path, via_fs))
         df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+        return spark.read.parquet(path)
 
     def cleanup(self) -> None:
-        """Remove scratch stage dirs created by linked()."""
+        """Remove scratch stage dirs created by linked().
+
+        Hadoop-FS scratch paths delete through the FileSystem API (works on
+        HDFS/S3A/local alike); tempfile fallbacks through shutil."""
         import shutil
 
-        for d in self._scratch_dirs:
-            shutil.rmtree(d, ignore_errors=True)
-        self._scratch_dirs.clear()
+        from gtfsrt2lc_spark.functions import hadoop_fs
+
+        for path, via_fs in self._scratch:
+            if via_fs and self._spark is not None:
+                hadoop_fs.delete(self._spark, path)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+        self._scratch.clear()
 
     # ---- stage 5+6 -------------------------------------------------------
     def canonical_map(self) -> DataFrame:

@@ -65,8 +65,21 @@ def run_incremental(
     """Process all not-yet-done buckets; return metrics dict.
 
     Second invocation over the same pages is a no-op (0 new triples).
+
+    Stage-checkpoint scratch: if the pipeline exposes ``scratch_dir`` and the
+    caller did not set one, this run scopes it under
+    ``<out_dir>/_stage/<run_id>-<uuid>`` — the same (shared) filesystem the
+    triples land on, so executor-written stage parquet is readable
+    cluster-wide — and deletes it after the pipeline's own cleanup().
     """
+    import uuid
+
     t0 = time.monotonic()
+    owns_scratch = hasattr(pipeline, "scratch_dir") and pipeline.scratch_dir is None
+    if owns_scratch:
+        pipeline.scratch_dir = (
+            f"{out_dir.rstrip('/')}/_stage/{run_id}-{uuid.uuid4().hex[:8]}"
+        )
     bucketed = pages.withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     )
@@ -86,6 +99,8 @@ def run_incremental(
     todo_parts = [r["part_id"] for r in part_stats.select("part_id").collect()]
     if not todo_parts:
         part_stats.unpersist()
+        if owns_scratch:
+            pipeline.scratch_dir = None
         return {"parts": 0, "n_docs": 0, "n_triples": 0, "wall_ms": 0}
 
     # Per-part triple counts observed ON the write (one aggregate expression
@@ -130,6 +145,11 @@ def run_incremental(
     part_stats.unpersist()
     if hasattr(pipeline, "cleanup"):
         pipeline.cleanup()  # drop stage-checkpoint scratch dirs
+    if owns_scratch:
+        from gtfsrt2lc_spark.functions import hadoop_fs
+
+        hadoop_fs.delete(spark, pipeline.scratch_dir)
+        pipeline.scratch_dir = None
     return {
         "parts": len(todo_parts),
         "n_docs": totals["d"] or 0,

@@ -62,3 +62,53 @@ def test_partial_failure_resume(spark, corpus_dfs, pipeline, corpus, tmp_path_fa
     # re-crawl snapshots included)
     row = mf.agg(F.sum("n_docs").alias("d")).collect()[0]
     assert row["d"] == pages.count()
+
+
+def test_scratch_dir_scoped_under_out_dir(spark, corpus_dfs, corpus, tmp_path_factory):
+    """Stage checkpoints must land on the (shared) out_dir filesystem, not a
+    driver-local tmp dir — the multi-node correctness posture — and be gone
+    after the run."""
+    import glob
+    import os
+    import tempfile
+
+    out = str(tmp_path_factory.mktemp("kg_out_scratch"))
+    pages, records, surfaces, sameas = corpus_dfs
+    preds = {phrase: local for phrase, (local, _, _) in PREDICATES.items()}
+    pipe = KGPipeline(records, surfaces, sameas, preds)
+
+    before_tmp = set(glob.glob(os.path.join(tempfile.gettempdir(), "kgstage_*")))
+    m = run_incremental(spark, pages, pipe, out, n_buckets=4, run_id="rs")
+    assert m["parts"] == 4
+
+    # no driver-local fallback dirs were created ...
+    after_tmp = set(glob.glob(os.path.join(tempfile.gettempdir(), "kgstage_*")))
+    assert after_tmp == before_tmp
+    # ... the out_dir-scoped scratch was used and is fully cleaned up ...
+    assert not os.path.exists(os.path.join(out, "_stage")) or not os.listdir(
+        os.path.join(out, "_stage")
+    )
+    # ... and the pipeline is reusable (scratch ownership released)
+    assert pipe.scratch_dir is None
+
+
+def test_explicit_scratch_dir_used_and_cleaned(spark, corpus_dfs, corpus, tmp_path):
+    """A caller-provided scratch_dir receives the stage parquet and cleanup()
+    removes the stages but leaves the caller's root alone."""
+    import os
+
+    pages, records, surfaces, sameas = corpus_dfs
+    preds = {phrase: local for phrase, (local, _, _) in PREDICATES.items()}
+    scratch = str(tmp_path / "scratch")
+    pipe = KGPipeline(records, surfaces, sameas, preds, scratch_dir=scratch)
+
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in pipe.triples(pages).collect()
+    }
+    assert got == corpus.golden_triples
+    stages = os.listdir(scratch)
+    assert stages and all(s.startswith("stage-") for s in stages)
+
+    pipe.cleanup()
+    assert os.listdir(scratch) == []

@@ -31,8 +31,10 @@ file; the distributed plan downstream is identical to the file path.
 from __future__ import annotations
 
 import argparse
+import atexit
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -45,6 +47,15 @@ from pyspark.sql import functions as F
 STATIC_TABLES = ["stops", "routes", "trips", "stop_times", "calendar"]
 
 
+def _staging_dir(prefix: str) -> str:
+    """Driver-local staging dir, removed at interpreter exit (the reference
+    has an explicit cleanUp of its download dir, lib/GtfsIndex.js:146-152;
+    leaking one dir per poll would fill /tmp on a long-lived poller)."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def _read_static(
     spark: SparkSession, path: str, headers: dict[str, str] | None = None
 ) -> dict[str, DataFrame]:
@@ -54,10 +65,10 @@ def _read_static(
     from gtfsrt2lc_spark.sources.http_fetch import fetch_to_file, is_url
 
     if is_url(path):
-        staged = os.path.join(tempfile.mkdtemp(prefix="gtfs_dl_"), "gtfs.zip")
+        staged = os.path.join(_staging_dir("gtfs_dl_"), "gtfs.zip")
         path = fetch_to_file(path, staged, headers)
     if path.endswith(".zip"):
-        tmp = tempfile.mkdtemp(prefix="gtfs_static_")
+        tmp = _staging_dir("gtfs_static_")
         with zipfile.ZipFile(path) as z:
             z.extractall(tmp)
         path = tmp
@@ -80,7 +91,7 @@ def _read_feed(
     from gtfsrt2lc_spark.sources.http_fetch import fetch_to_file, is_url
 
     if is_url(path):
-        staged = os.path.join(tempfile.mkdtemp(prefix="gtfsrt_dl_"), "feed.bin")
+        staged = os.path.join(_staging_dir("gtfsrt_dl_"), "feed.bin")
         path = fetch_to_file(path, staged, headers)
     return (
         spark.read.format("binaryFile")

@@ -77,7 +77,18 @@ def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     returns ''), matching the window form's NULL-partition behavior.
     Non-string/binary content columns fall back to grouping on the value
     itself (narrow for scalar types; the digest exists to avoid shuffling
-    wide text/blob payloads, which only string/binary can be)."""
+    wide text/blob payloads, which only string/binary can be).
+
+    Raises ValueError when the input already carries one of the operator's
+    internal column names — same reserved-name contract as asof_join /
+    range_join_point (silently overwriting and dropping a caller's column
+    would corrupt the output schema)."""
+    reserved = {"_digest", "_dx_content", "_dx_id"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"dedup_exact: input columns {sorted(reserved)} collide with "
+            "internal names; rename them before calling"
+        )
     dtype = df.schema[content_col].dataType.simpleString()
     if dtype not in ("string", "binary"):
         winners = (

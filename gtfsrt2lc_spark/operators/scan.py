@@ -41,14 +41,22 @@ def prefix_sum(
     """Exact inclusive running sum of ``value_col`` in ``order_col`` order.
 
     ``order_col`` must be numeric, non-null, with distinct values (it
-    defines the order); ``value_col`` must be non-null. The input is
-    persisted for the operator's three passes (min/max, subtotals, scan) —
-    one evaluation instead of three, and the subtotal and scan passes are
-    guaranteed to see the SAME rows even for nondeterministic upstreams;
-    callers may unpersist the input after consuming the result."""
+    defines the order); ``value_col`` must be non-null.
+
+    The operator makes three passes over ``df`` (min/max, subtotals, scan)
+    and does NOT cache between them — an internal ``persist()`` with no
+    caller-visible handle would leak a cached DataFrame for the session
+    lifetime (streaming/bench loops accumulate them until memory pressure).
+    The passes therefore re-evaluate the input plan, which is cheap for the
+    normal case (narrow projection over a deterministic source) and exactly
+    Spark's own multi-consumer semantics. PRECONDITION: the input plan must
+    be deterministic (true for file scans + column ops); nondeterministic
+    upstreams (rand(), sampling, non-idempotent UDFs) must be pinned by the
+    caller — ``df.persist()``/``localCheckpoint()`` around the call, with
+    the caller owning the unpersist — or the subtotal and cumsum passes may
+    disagree on bucket contents."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    df = df.persist()
     mm = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).first()

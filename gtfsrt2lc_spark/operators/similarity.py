@@ -102,6 +102,7 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates = same random-hyperplane bucket in any
     of n_tables tables; exact cosine re-rank on candidates.
@@ -113,9 +114,18 @@ def lsh_topk(
     Shuffle discipline: the bucket join replicates every corpus row
     x n_tables, so it runs on the NARROW (id, table_id, bucket) frames; the
     vectors join back to the deduped (q_id, c_id) candidate pairs, so each
-    corpus vector shuffles at most once instead of x n_tables (queries are
-    small and broadcast).
+    corpus vector shuffles at most once instead of x n_tables.
+
+    ``broadcast_queries`` (default True) pins the query side of both joins
+    as a broadcast — right for the common case of a small query batch, but a
+    hard broadcast hint bypasses the planner's size check and can OOM on a
+    LARGE query set. Pass False for big query DataFrames: the joins become
+    planner-chosen (sort-merge/shuffle-hash, AQE may still re-plan small
+    sides to broadcast at runtime), which is the symmetric big-join shape.
     """
+
+    def _q(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_queries else df
     tables = _hyperplanes(dim, n_bits, n_tables, seed)
 
     def with_buckets(df: DataFrame, side: str) -> DataFrame:
@@ -136,7 +146,7 @@ def lsh_topk(
     c = with_buckets(corpus, "c")
     q = with_buckets(queries, "q")
     cand = (
-        c.join(F.broadcast(q), ["table_id", "bucket"])
+        c.join(_q(q), ["table_id", "bucket"])
         .where(F.col("c_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "c_id"])
     )
@@ -144,7 +154,7 @@ def lsh_topk(
     q_vecs = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     scored = (
         cand.join(c_vecs, "c_id")
-        .join(F.broadcast(q_vecs), "q_id")
+        .join(_q(q_vecs), "q_id")
         .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))

@@ -77,22 +77,59 @@ def fetch_bytes(
     return _decompress(body, encoding)
 
 
+def _pump(src, dst, decomp, chunk_size: int) -> None:
+    """Stream src -> dst through an incremental zlib decompressor."""
+    while True:
+        chunk = src.read(chunk_size)
+        if not chunk:
+            break
+        dst.write(decomp.decompress(chunk))
+    dst.write(decomp.flush())
+
+
 def fetch_to_file(
     path_or_url: str,
     dest: str,
     headers: dict[str, str] | None = None,
     max_redirects: int = 10,
     timeout: float = 60.0,
+    chunk_size: int = 1 << 20,
 ) -> str:
     """Stage a URL (fetched + decompressed) or a local file at ``dest``.
 
     The staging-file indirection mirrors lib/GtfsIndex.js:60 (download ->
     /tmp/gtfs.zip -> unzip); callers hand ``dest`` to the zip extractor or
-    the binaryFile scan."""
-    if is_url(path_or_url):
-        body = fetch_bytes(path_or_url, headers, max_redirects, timeout)
-        with open(dest, "wb") as f:
-            f.write(body)
-    else:
+    the binaryFile scan. The body STREAMS to disk in ``chunk_size`` pieces
+    (incremental gzip/deflate decompression) — the reference pipes the
+    static-GTFS download straight to a write stream (lib/GtfsIndex.js:56-66),
+    and buffering a multi-GB agency zip plus its decompressed copy in driver
+    memory is exactly the failure mode streaming avoids."""
+    if not is_url(path_or_url):
         shutil.copyfile(path_or_url, dest)
+        return dest
+    req = urllib.request.Request(path_or_url, headers=dict(headers or {}))
+    opener = urllib.request.build_opener(_CappedRedirects(max_redirects))
+    try:
+        with opener.open(req, timeout=timeout) as res:
+            enc = (res.headers.get("Content-Encoding") or "").strip().lower()
+            with open(dest, "wb") as f:
+                if enc == "gzip":
+                    _pump(res, f, zlib.decompressobj(16 + zlib.MAX_WBITS), chunk_size)
+                elif enc == "deflate":
+                    # sniff zlib-vs-raw on the first chunk, then stream
+                    first = res.read(chunk_size)
+                    d = zlib.decompressobj()
+                    try:
+                        out = d.decompress(first)
+                    except zlib.error:  # raw deflate without zlib header
+                        d = zlib.decompressobj(-zlib.MAX_WBITS)
+                        out = d.decompress(first)
+                    f.write(out)
+                    _pump(res, f, d, chunk_size)
+                else:  # unknown encodings pass through untouched
+                    shutil.copyfileobj(res, f, chunk_size)
+    except urllib.error.HTTPError as e:
+        raise IOError(
+            f"Request {path_or_url} failed with HTTP response code {e.code}"
+        ) from e
     return dest

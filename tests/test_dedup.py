@@ -249,3 +249,15 @@ def test_embedding_bucket_join_shuffles_no_vectors(spark):
     assert exchanges, "expected a bucket-keyed Exchange in the plan"
     for cols in exchanges:
         assert not any(c in ("v", "v_a", "v_b", "embedding") for c in cols), cols
+
+
+def test_dedup_exact_rejects_reserved_columns(spark):
+    import pytest
+
+    from gtfsrt2lc_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [("a", 1, "x")], "content string, id long, _digest string"
+    )
+    with pytest.raises(ValueError, match="_digest"):
+        dedup_exact(df, "content", "id")

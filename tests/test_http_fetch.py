@@ -193,3 +193,32 @@ def test_gzipped_feed_file_sniffed(tmp_path):
     corrupt = bytearray(gzip.compress(FEED))
     corrupt[15] ^= 0xFF
     assert decode_feed(bytes(corrupt))["entities"] == []
+
+
+def test_fetch_to_file_streams_compressed_urls(server, tmp_path):
+    """fetch_to_file decompresses gzip/deflate incrementally to disk with a
+    tiny chunk size (forcing many decompress steps), byte-identical to the
+    buffered fetch."""
+    for path in ("feed.gz", "feed.deflate", "feed.pb", "feed.fake"):
+        dest = tmp_path / path.replace(".", "_")
+        fetch_to_file(f"{server}/{path}", str(dest), chunk_size=7)
+        assert dest.read_bytes() == FEED, path
+
+
+def test_fetch_to_file_4xx_rejects(server, tmp_path):
+    with pytest.raises(IOError, match="HTTP response code 404"):
+        fetch_to_file(f"{server}/missing", str(tmp_path / "x"))
+
+
+def test_cli_staging_dirs_registered_for_cleanup(server, tmp_path, monkeypatch):
+    """Every staging dir the CLI creates is registered for removal at exit
+    (a long-lived poller must not fill /tmp)."""
+    import gtfsrt2lc_spark.cli as cli
+
+    removed = []
+    monkeypatch.setattr(
+        cli.atexit, "register", lambda fn, *a, **kw: removed.append(a[0])
+    )
+    d = cli._staging_dir("probe_")
+    assert os.path.isdir(d)
+    assert removed == [d]

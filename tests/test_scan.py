@@ -58,3 +58,17 @@ def test_sequence_pack_bins(spark):
         4: (120, 1, True),    # 200 > capacity -> overflow
         5: (320, 3, False),
     }
+
+
+def test_sequence_pack_leaves_no_cached_rdds(spark):
+    """Lifetime guard: the operator must not leak session-lifetime cache
+    entries (it previously persisted an internal projection no caller could
+    unpersist)."""
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    df = spark.range(0, 500).select(
+        F.col("id"), ((F.col("id") * 13) % 50 + 1).alias("n")
+    )
+    result = sequence_pack(df, "id", "n", capacity=256)
+    assert result.count() == 500
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert set(after) == set(before), "sequence_pack leaked cached RDDs"

@@ -103,3 +103,14 @@ def test_ivf_deterministic(emb):
         )
 
     assert run() == run()
+
+
+def test_lsh_topk_no_broadcast_hint_when_disabled(spark, emb):
+    """broadcast_queries=False must leave the join planner-chosen: identical
+    results, no broadcast-hint OOM hazard for large query sets."""
+    queries = emb.where(F.col("vec_id") < 3)
+    hinted = lsh_topk(emb, queries, dim=DIM, k=5)
+    unhinted = lsh_topk(emb, queries, dim=DIM, k=5, broadcast_queries=False)
+    assert sorted(map(tuple, unhinted.collect())) == sorted(
+        map(tuple, hinted.collect())
+    )

@@ -66,43 +66,49 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # two passes: the first warms codegen, page cache and python workers;
-    # the second is the recorded steady-state timing
-    timings: dict[str, float] = {}
-    for _pass in range(2):
+    # three passes per query: pass 1 warms codegen, page cache and python
+    # workers; on this shared VM any pass can hit a throttling stall, so the
+    # JSON records the FULL per-pass spread ("queries_raw") alongside min
+    # ("queries" — the steady-state headline, convention unchanged since r2)
+    # and median ("queries_median") so a regression is classifiable as real
+    # vs host noise without re-running (a real regression moves the median;
+    # a throttle spike widens the spread).
+    raw: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _pass in range(3):
         for name in BENCH_QUERIES:
             t0 = time.monotonic()
             qs[name](spark, sf_dir).count()
-            dt = round(time.monotonic() - t0, 3)
-            # min across passes: pass 1 warms codegen/page cache/python
-            # workers, and on this shared VM either pass can hit a
-            # throttling stall — the minimum is the steady-state number
-            # (same convention as the kg best-of-2 below)
-            timings[name] = min(timings.get(name, dt), dt)
+            raw[name].append(round(time.monotonic() - t0, 3))
+    timings = {name: min(ts) for name, ts in raw.items()}
+    medians = {name: sorted(ts)[len(ts) // 2] for name, ts in raw.items()}
 
-    # flagship: full KG pipeline over a synthesized CC-style page corpus
+    # flagship: full KG pipeline over a synthesized CC-style page corpus.
+    # Pages are STAGED TO PARQUET once (pyarrow, untimed) and read back:
+    # timing a LocalRelation corpus would ship ~3 MB of page payload inside
+    # every task binary (the TaskSetManager large-task warning) and scans a
+    # shape no real job has — the pipeline always reads files.
     from gtfsrt2lc_spark.fixtures.pages import PREDICATES, build_corpus, corpus_dataframes
     from gtfsrt2lc_spark.plans.kg_pipeline import KGPipeline
 
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", str(int(1000000 * sf) if sf > 0 else 4000)))
     corpus = build_corpus(n_pages=n_pages, seed=42)
-    pages, records, surfaces, sameas = corpus_dataframes(spark, corpus)
-    pages = pages.repartition(int(cpus)).persist()
-    n_docs = pages.count()  # materialize input outside the timed window
+    _, records, surfaces, sameas = corpus_dataframes(spark, corpus)
+    pages = _stage_pages(spark, corpus, n_pages)
+    n_docs = pages.count()  # materialize/list input outside the timed window
     pipe = KGPipeline(records, surfaces, sameas,
                       {ph: loc for ph, (loc, _, _) in PREDICATES.items()})
     pipe.canonical_map()  # KB prep is amortized across micro-batches; not timed
 
-    # best of three timed passes: this shared VM shows ±2-5x run-to-run
-    # wall-clock noise (see BENCH/BASELINE.md calibration); the minimum is
-    # the steady-state number, matching the scaling protocol's convention
-    kg_secs = float("inf")
+    kg_raw = []
     for _pass in range(3):
         t0 = time.monotonic()
         n_triples = pipe.triples(pages).count()
-        kg_secs = min(kg_secs, time.monotonic() - t0)
+        kg_raw.append(round(time.monotonic() - t0, 3))
     pipe.cleanup()
+    kg_secs = min(kg_raw)
+    raw["kg_pipeline_pages"] = kg_raw
     timings["kg_pipeline_pages"] = round(kg_secs, 3)
+    medians["kg_pipeline_pages"] = sorted(kg_raw)[len(kg_raw) // 2]
     docs_per_sec = n_docs / kg_secs if kg_secs > 0 else 0.0
 
     print(
@@ -112,6 +118,8 @@ def main() -> None:
                 "value": round(docs_per_sec, 2),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "queries_raw": raw,
                 "sf": sf,
                 "n_docs": n_docs,
                 "n_triples": n_triples,
@@ -119,6 +127,38 @@ def main() -> None:
             }
         )
     )
+
+
+def _stage_pages(spark, corpus, n_pages: int):
+    """Write the corpus pages to a keyed parquet dir once; reuse across runs
+    at the same size/seed. Returns the file-backed DataFrame."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), f"kgbench_pages_{n_pages}_s42")
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        pages = corpus.pages
+        shard_rows = max(1, (len(pages) + 31) // 32)
+        for i in range(0, len(pages), shard_rows):
+            chunk = pages[i : i + shard_rows]
+            table = pa.table(
+                {
+                    "url": pa.array([p["url"] for p in chunk], pa.string()),
+                    "warc_ts": pa.array(
+                        [p["warc_ts"].replace(tzinfo=None) for p in chunk],
+                        pa.timestamp("us"),
+                    ),
+                    "html": pa.array([p["html"] for p in chunk], pa.binary()),
+                    "text": pa.array([p["text"] for p in chunk], pa.string()),
+                    "lang": pa.array([p["lang"] for p in chunk], pa.string()),
+                }
+            )
+            pq.write_table(table, os.path.join(out, f"shard_{i // shard_rows:03d}.parquet"))
+        open(marker, "w").close()
+    return spark.read.parquet(out)
 
 
 if __name__ == "__main__":

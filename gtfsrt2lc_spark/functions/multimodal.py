@@ -4,13 +4,14 @@ A training-data pipeline at corpus scale treats media as ``binary`` columns
 with typed metadata structs. The Spark-side plumbing here is real and tested —
 schemas, Arrow batch shapes, ``mapInPandas`` partition iteration, partition
 sizing. Pixel decode is REAL for uncompressed 24-bit BMP (pure
-struct + numpy, dependency-free), driving the full decode -> resize ->
-grayscale-feature path end-to-end; JPEG/PNG/audio codecs need imaging
-libraries absent from this container and sit behind the same
-``PIXEL_DECODERS`` hook (register a PIL/opencv-backed callable to
-activate — the surrounding Spark plumbing is identical). Header-only
-metadata (format sniff, PNG/GIF/BMP dimensions) is dependency-free for all
-formats.
+struct + numpy) AND non-interlaced 8-bit PNG (stdlib zlib + the five
+scanline filters), both dependency-free, driving the full decode ->
+resize -> grayscale-feature path end-to-end including a compressed format;
+JPEG/audio codecs need imaging libraries absent from this container and sit
+behind the same ``PIXEL_DECODERS`` hook (register a PIL/opencv-backed
+callable to activate — the surrounding Spark plumbing is identical).
+Header-only metadata (format sniff, PNG/GIF/BMP dimensions) is
+dependency-free for all formats.
 
 Reference analog: the undecoded protobuf payload (`lib/Gtfsrt2LC.js:61-66`) —
 binary in, typed struct out, never row-at-a-time Python.
@@ -99,6 +100,98 @@ def decode_bmp(data: bytes):
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def decode_png(data: bytes):
+    """REAL pixel decode for non-interlaced 8-bit PNG (gray / gray+alpha /
+    RGB / RGBA) — dependency-free: stdlib ``zlib`` for the IDAT stream plus
+    the five scanline filters from the public PNG spec (RFC 2083 §6), numpy
+    for the byte math. Returns an (h, w, 3) uint8 RGB array (gray replicated
+    to 3 channels, alpha dropped — same contract as decode_bmp).
+
+    Out of scope (raise NotImplementedError): 1/2/4/16-bit depths, palette
+    (PLTE color type 3), Adam7 interlacing. Malformed structure raises
+    ValueError. Filters none/sub/up are vectorized; average/paeth keep the
+    spec's sequential per-byte recurrence (left-neighbor dependency) —
+    acceptable since decode already runs inside an Arrow-batched stage."""
+    import zlib
+
+    import numpy as np
+
+    if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 8 - 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = chunk
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h = struct.unpack_from(">II", ihdr, 0)
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad IHDR compression/filter method ({comp}/{filt})")
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG (got depth={depth})")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} (palette?) not supported")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    p = 0
+    for y in range(h):
+        ftype = raw[p]
+        cur = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
+        p += 1 + stride
+        if ftype == 0:  # none
+            pass
+        elif ftype == 1:  # sub: a[x] = raw[x] + a[x-bpp]  (mod 256)
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif ftype == 2:  # up (uint8 add wraps mod 256 — exactly the spec)
+            cur += prev
+        elif ftype == 3:  # average
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # paeth
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if channels <= 2:  # gray / gray+alpha -> replicate luma, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGB / RGBA -> drop alpha
+
+
 def resize_nearest(arr, out_w: int, out_h: int):
     """Deterministic nearest-neighbor resize (numpy index sampling)."""
     import numpy as np
@@ -110,10 +203,11 @@ def resize_nearest(arr, out_w: int, out_h: int):
 
 
 def decode_pixels(data: bytes, fmt: str):
-    """Full pixel decode. BMP decodes for real (pure numpy); other formats
-    need an imaging library not present in this container — the Spark
-    plumbing around them (schema, batching) is identical, so registering a
-    PIL/opencv-backed callable in PIXEL_DECODERS activates them."""
+    """Full pixel decode. BMP and PNG decode for real (pure numpy / stdlib
+    zlib); other formats need an imaging library not present in this
+    container — the Spark plumbing around them (schema, batching) is
+    identical, so registering a PIL/opencv-backed callable in
+    PIXEL_DECODERS activates them."""
     dec = PIXEL_DECODERS.get(fmt)
     if dec is None:
         raise NotImplementedError(
@@ -127,7 +221,10 @@ def decode_pixels(data: bytes, fmt: str):
 #   MEDIA_DECODERS: format -> callable(bytes) -> (width, height)   (metadata)
 #   PIXEL_DECODERS: format -> callable(bytes) -> ndarray (h, w, 3) (pixels)
 MEDIA_DECODERS: dict[str, Callable[[bytes], tuple[int, int]]] = {}
-PIXEL_DECODERS: dict[str, Callable[[bytes], object]] = {"bmp": decode_bmp}
+PIXEL_DECODERS: dict[str, Callable[[bytes], object]] = {
+    "bmp": decode_bmp,
+    "png": decode_png,
+}
 
 
 def extract_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:

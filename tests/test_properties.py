@@ -243,3 +243,39 @@ def test_bmp_decode_roundtrip(w, h, data):
         [tuple(int(v) for v in arr[y][x]) for x in range(w)] for y in range(h)
     ]
     assert got == px
+
+
+# ---- PNG decode round-trip (all five scanline filters) --------------------
+
+@given(
+    w=st.integers(1, 7),
+    h=st.integers(1, 5),
+    color=st.sampled_from([0, 2, 6]),
+    data=st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_png_decode_roundtrip(w, h, color, data):
+    """encode(pixels, random per-row filters) -> decode == pixels across
+    gray/RGB/RGBA and arbitrary filter sequences (the sequential sub/avg/
+    paeth recurrences are where off-by-one-pixel bugs live)."""
+    from gtfsrt2lc_spark.functions.multimodal import decode_png
+    from tests.test_multimodal import _png_full
+
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    px = [
+        [
+            tuple(data.draw(st.integers(0, 255)) for _ in range(ch))
+            if ch > 1
+            else data.draw(st.integers(0, 255))
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+    filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+    arr = decode_png(_png_full(px, color=color, filters=filters))
+    assert arr.shape == (h, w, 3)
+    for y in range(h):
+        for x in range(w):
+            p = px[y][x]
+            rgb = (p, p, p) if ch == 1 else tuple(p[:3])
+            assert tuple(int(v) for v in arr[y][x]) == rgb, (y, x, filters)

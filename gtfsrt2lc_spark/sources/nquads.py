@@ -154,6 +154,21 @@ def to_turtle_lines(
     keep the write a narrow map over the triples and remain valid Turtle.
     """
     pfx = TURTLE_PREFIXES if prefixes is None else prefixes
+    return triples.select(
+        F.concat(
+            _prefixed(F.col(subj), pfx),
+            F.lit(" "),
+            _prefixed(F.col(pred), pfx),
+            F.lit(" "),
+            _object_term(obj, obj_datatype, pfx),
+            F.lit(" ."),
+        ).alias("line")
+    )
+
+
+def _object_term(
+    obj: str, obj_datatype: str | None, pfx: dict[str, str]
+) -> Column:
     is_iri = F.col(obj).startswith("http://") | F.col(obj).startswith("https://")
     is_bnode = F.col(obj).startswith("_:")
     lit = F.concat(F.lit('"'), _escape_literal(F.col(obj)), F.lit('"'))
@@ -162,20 +177,49 @@ def to_turtle_lines(
             F.col(obj_datatype).isNotNull(),
             F.concat(lit, F.lit("^^"), _prefixed(F.col(obj_datatype), pfx)),
         ).otherwise(lit)
-    obj_term = (
+    return (
         F.when(is_iri, _prefixed(F.col(obj), pfx))
         .when(is_bnode, F.col(obj))
         .otherwise(lit)
     )
-    return triples.select(
-        F.concat(
-            _prefixed(F.col(subj), pfx),
-            F.lit(" "),
-            _prefixed(F.col(pred), pfx),
-            F.lit(" "),
-            obj_term,
-            F.lit(" ."),
-        ).alias("line")
+
+
+def to_turtle_blocks(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    obj_datatype: str | None = None,
+    prefixes: dict[str, str] | None = None,
+) -> DataFrame:
+    """One Turtle block per SUBJECT — predicate lists joined with ``;``, the
+    reference's n3 StreamWriter output shape (lib/Gtfsrt2LC.js:254-261):
+
+        subj pred1 obj1 ;
+            pred2 obj2 .
+
+    Opt-in byte-closer parity mode: grouping costs one keyed shuffle on the
+    subject (collect_list is partial-aggregated map-side, and subjects are
+    high-cardinality so the shuffle is well-spread); the ``(pred, obj)``
+    list is sorted for deterministic output. Statement-per-line
+    ``to_turtle_lines`` remains the scale default — no shuffle for output
+    cosmetics."""
+    pfx = TURTLE_PREFIXES if prefixes is None else prefixes
+    po = F.concat(
+        _prefixed(F.col(pred), pfx), F.lit(" "), _object_term(obj, obj_datatype, pfx)
+    )
+    return (
+        triples.select(_prefixed(F.col(subj), pfx).alias("s"), po.alias("po"))
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list("po")).alias("pos"))
+        .select(
+            F.concat(
+                F.col("s"),
+                F.lit(" "),
+                F.array_join("pos", " ;\n    "),
+                F.lit(" ."),
+            ).alias("line")
+        )
     )
 
 
@@ -184,13 +228,18 @@ def write_turtle(
     path: str,
     obj_datatype: str | None = None,
     prefixes: dict[str, str] | None = None,
+    group_subjects: bool = False,
 ) -> None:
     """Distributed Turtle write: statement parts + `prefixes.ttl` sidecar
-    holding the @prefix block (consumers concatenate sidecar + parts)."""
+    holding the @prefix block (consumers concatenate sidecar + parts).
+    ``group_subjects=True`` emits per-subject ``;`` blocks (reference n3
+    parity, one extra subject-keyed shuffle) instead of one statement per
+    line."""
     import os
 
     pfx = TURTLE_PREFIXES if prefixes is None else prefixes
-    to_turtle_lines(triples, obj_datatype=obj_datatype, prefixes=pfx).write.mode(
+    render = to_turtle_blocks if group_subjects else to_turtle_lines
+    render(triples, obj_datatype=obj_datatype, prefixes=pfx).write.mode(
         "overwrite"
     ).text(path)
     with open(os.path.join(path, "prefixes.ttl"), "w") as f:

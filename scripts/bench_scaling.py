@@ -110,6 +110,8 @@ def main() -> None:
     # calibration it reports). Pass --n 8 for the 8->32 stress variant.
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--out-name", default="scaling_run.json",
+                    help="artifact filename under BENCH/ (e.g. scaling_run_ccweight_r03.json)")
     args = ap.parse_args()
 
     corpus = args.corpus or os.path.join(tempfile.gettempdir(), f"kgcorpus_{args.n_pages}")
@@ -152,7 +154,7 @@ def main() -> None:
         }
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_run.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", args.out_name), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
 

@@ -83,3 +83,58 @@ def test_turtle_write_sidecar(spark, tmp_path):
     assert "@prefix gtfs: <http://vocab.gtfs.org/terms#> ." in header
     assert "@prefix lc: <http://semweb.mmlab.be/ns/linkedconnections#> ." in header
     assert "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> ." in header
+
+
+def test_turtle_blocks_group_subjects(spark):
+    """Opt-in n3-parity mode: one block per subject, predicate list joined
+    with ';', deterministic (sorted) order, golden-exact."""
+    from gtfsrt2lc_spark.sources.nquads import to_turtle_blocks
+
+    rows = [
+        ("http://vocab.gtfs.org/terms#trip",
+         "http://semweb.mmlab.be/ns/linkedconnections#departureStop",
+         "http://vocab.gtfs.org/terms#Regular", None),
+        ("http://vocab.gtfs.org/terms#trip",
+         "http://semweb.mmlab.be/ns/linkedconnections#arrivalStop",
+         "http://ex.org/e/B", None),
+        ("http://ex.org/e/A",
+         "http://semweb.mmlab.be/ns/linkedconnections#departureTime",
+         "2019-06-04T09:32:00.000Z", "http://www.w3.org/2001/XMLSchema#dateTime"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, dt string")
+    blocks = sorted(r["line"] for r in to_turtle_blocks(df, obj_datatype="dt").collect())
+    assert blocks == [
+        '<http://ex.org/e/A> lc:departureTime "2019-06-04T09:32:00.000Z"^^xsd:dateTime .',
+        "gtfs:trip lc:arrivalStop <http://ex.org/e/B> ;\n"
+        "    lc:departureStop gtfs:Regular .",
+    ]
+
+
+def test_turtle_blocks_equivalent_to_lines(spark):
+    """Round-trip: expanding each ';' block back to statements yields exactly
+    the statement-per-line output — grouping is cosmetic, never semantic."""
+    from gtfsrt2lc_spark.sources.nquads import to_turtle_blocks, to_turtle_lines
+
+    df = _df(spark)
+    flat = sorted(r["line"] for r in to_turtle_lines(df).collect())
+    expanded = []
+    for r in to_turtle_blocks(df).collect():
+        block = r["line"]
+        assert block.endswith(" .")
+        subj, rest = block[:-2].split(" ", 1)
+        for po in rest.split(" ;\n    "):
+            expanded.append(f"{subj} {po} .")
+    assert sorted(expanded) == flat
+
+
+def test_turtle_write_grouped(spark, tmp_path):
+    from gtfsrt2lc_spark.sources.nquads import write_turtle
+
+    path = str(tmp_path / "ttl_grouped")
+    write_turtle(_df(spark).drop("graph"), path, group_subjects=True)
+    body = ""
+    for part in sorted(os.listdir(path)):
+        if part.startswith("part-"):
+            body += open(os.path.join(path, part)).read()
+    assert " ;\n    " in body  # at least one multi-predicate subject grouped
+    assert os.path.exists(os.path.join(path, "prefixes.ttl"))

@@ -911,6 +911,39 @@ def q_turtle_lines(spark, sf_dir):
     return to_turtle_lines(tri, obj_datatype="dt")
 
 
+def q_turtle_blocks(spark, sf_dir):
+    """Subject-grouped Turtle (n3 StreamWriter parity mode): subjects repeat
+    (doc_id % 60 -> ~4 statements each), so the ';' predicate-list join,
+    deterministic sort order, and the single subject-keyed shuffle all
+    engage — rendered by the REAL to_turtle_blocks; the oracle replays the
+    grouping with string_agg(... ORDER BY) over the same term rendering."""
+    from gtfsrt2lc_spark.sources.nquads import to_turtle_blocks
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 240)
+    did = F.col("doc_id").cast("string")
+    sid = (F.col("doc_id") % 60).cast("string")
+    lc = "http://semweb.mmlab.be/ns/linkedconnections#"
+    gtfs = "http://vocab.gtfs.org/terms#"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    c = F.col("doc_id") % 5
+    obj = (
+        F.when(c == 0, F.concat(F.substring(F.col("text"), 1, 20), F.lit(' q" \\ tab\t.')))
+        .when(c == 1, F.substring(F.col("text"), 1, 25))
+        .when(c == 2, F.concat(F.lit(gtfs + "Stop"), did))
+        .when(c == 3, F.concat(F.lit(gtfs + "a/b"), did))  # '/' fails PN_LOCAL
+        .otherwise(F.concat(F.lit("_:n"), did))
+    )
+    tri = d.select(
+        F.concat(F.lit(lc + "Connection"), sid).alias("subj"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(gtfs + "departureStop"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(lc + "departureTime"))
+        .otherwise(F.lit("http://other.example/p")).alias("pred"),
+        obj.alias("obj"),
+        F.when(c == 0, F.lit(xsd + "string")).alias("dt"),
+    )
+    return to_turtle_blocks(tri, obj_datatype="dt")
+
+
 def q_jsonld_nodes(spark, sf_dir):
     """S8 analog as a driver-visible oracle row: triples synthesized from
     documents (several docs per subject so set-dedup, per-predicate object
@@ -1253,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_lines": q_nquads_lines,
         "jsonld_nodes": q_jsonld_nodes,
         "turtle_lines": q_turtle_lines,
+        "turtle_blocks": q_turtle_blocks,
         "csv_lines": q_csv_lines,
     }
 
@@ -2330,6 +2364,43 @@ def oracle_sql() -> dict[str, str]:
                        ELSE {_tlit} END
                || ' .' AS line
         FROM tri
+    """
+    sql["turtle_blocks"] = f"""
+        WITH tri AS (
+            SELECT 'http://semweb.mmlab.be/ns/linkedconnections#Connection'
+                       || CAST(doc_id % 60 AS VARCHAR) AS subj,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'http://vocab.gtfs.org/terms#departureStop'
+                        WHEN doc_id % 3 = 1
+                        THEN 'http://semweb.mmlab.be/ns/linkedconnections#departureTime'
+                        ELSE 'http://other.example/p' END AS pred,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN substr(text, 1, 20) || ' q" \\ tab' || chr(9) || '.'
+                        WHEN doc_id % 5 = 1 THEN substr(text, 1, 25)
+                        WHEN doc_id % 5 = 2
+                        THEN 'http://vocab.gtfs.org/terms#Stop' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 5 = 3
+                        THEN 'http://vocab.gtfs.org/terms#a/b' || CAST(doc_id AS VARCHAR)
+                        ELSE '_:n' || CAST(doc_id AS VARCHAR) END AS obj,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'http://www.w3.org/2001/XMLSchema#string' END AS dt
+            FROM documents WHERE doc_id < 240
+        ),
+        po AS (
+            SELECT {_pfx_sql('subj')} AS s,
+                   {_pfx_sql('pred')} || ' '
+                   || CASE WHEN starts_with(obj, 'http://') OR starts_with(obj, 'https://')
+                           THEN {_pfx_sql('obj')}
+                           WHEN starts_with(obj, '_:') THEN obj
+                           WHEN dt IS NOT NULL
+                           THEN {_tlit} || '^^' || {_pfx_sql('dt')}
+                           ELSE {_tlit} END AS po
+            FROM tri
+        )
+        SELECT s || ' '
+               || string_agg(po, ' ;' || chr(10) || '    ' ORDER BY po)
+               || ' .' AS line
+        FROM po GROUP BY s
     """
     sql["jsonld_nodes"] = """
         WITH tri AS (

@@ -285,7 +285,12 @@ def neardup_pairs_embedding(
     vectors join back to the deduped candidate pairs, shuffling each vector
     at most once per side instead of x n_tables.
     """
-    from gtfsrt2lc_spark.operators.similarity import _hyperplanes, _bucket_key, cosine
+    from gtfsrt2lc_spark.operators.similarity import (
+        _bucket_structs,
+        _hyperplanes,
+        _with_constant_table,
+        cosine,
+    )
 
     if method == "exact":
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
@@ -295,14 +300,15 @@ def neardup_pairs_embedding(
         if dim is None:
             raise ValueError("method='lsh' requires dim")
         tables = _hyperplanes(dim, n_bits, n_tables, seed)
-        buckets = F.array(
-            *[
-                F.struct(F.lit(t).alias("table_id"), _bucket_key(F.col(vec_col), tables[t]).alias("bucket"))
-                for t in range(len(tables))
-            ]
-        )
-        hashed = df.select(F.col(id_col).alias("id"), F.explode(buckets).alias("b")).select(
-            "id", F.col("b.table_id").alias("table_id"), F.col("b.bucket").alias("bucket")
+        hashed = (
+            _with_constant_table(df, "_tables", tables, "array<array<array<double>>>")
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode(_bucket_structs(F.col(vec_col), F.col("_tables"))).alias("b"),
+            )
+            .select(
+                "id", F.col("b.table_id").alias("table_id"), F.col("b.bucket").alias("bucket")
+            )
         )
         cand = (
             hashed.select(F.col("id").alias("id_a"), "table_id", "bucket")

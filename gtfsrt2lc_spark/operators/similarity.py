@@ -84,12 +84,35 @@ def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int) -> list[list[l
     ]
 
 
-def _bucket_key(vec: Column, planes: list[list[float]]) -> Column:
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in planes
-    ]
-    return F.concat(*bits)
+def _with_constant_table(df: DataFrame, col_name: str, value, ddl: str) -> DataFrame:
+    """Attach a (nested-array) constant to every row via a single-row
+    broadcast relation instead of a literal expression tree.
+
+    Literal trees grow with the constant's size: n_cells x dim doubles embed
+    in every serialized task binary (TaskSetManager 'very large task'
+    warnings) and inflate Janino codegen. A broadcast nested-loop join
+    against a one-row LocalRelation ships the constant ONCE per executor and
+    keeps the row math in whole-stage codegen."""
+    one = df.sparkSession.createDataFrame([(value,)], f"{col_name} {ddl}")
+    return df.crossJoin(F.broadcast(one))
+
+
+def _bucket_structs(vec: Column, tables_col: Column) -> Column:
+    """array<struct<table_id,bucket>> of sign-bit bucket keys, one per table
+    (tables_col: array<array<array<double>>> from _with_constant_table)."""
+    return F.transform(
+        tables_col,
+        lambda planes, t: F.struct(
+            t.cast("int").alias("table_id"),
+            F.array_join(
+                F.transform(
+                    planes,
+                    lambda p: F.when(dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+                ),
+                "",
+            ).alias("bucket"),
+        ),
+    )
 
 
 def lsh_topk(
@@ -129,16 +152,12 @@ def lsh_topk(
     tables = _hyperplanes(dim, n_bits, n_tables, seed)
 
     def with_buckets(df: DataFrame, side: str) -> DataFrame:
-        v = F.col(vec_col)
-        buckets = F.array(
-            *[
-                F.struct(F.lit(t).alias("table_id"), _bucket_key(v, tables[t]).alias("bucket"))
-                for t in range(n_tables)
-            ]
+        with_tables = _with_constant_table(
+            df, "_tables", tables, "array<array<array<double>>>"
         )
-        return df.select(
+        return with_tables.select(
             F.col(id_col).alias(f"{side}_id"),
-            F.explode(buckets).alias("b"),
+            F.explode(_bucket_structs(F.col(vec_col), F.col("_tables"))).alias("b"),
         ).select(
             f"{side}_id", F.col("b.table_id").alias("table_id"), F.col("b.bucket").alias("bucket")
         )
@@ -225,17 +244,17 @@ def _train_centroids(
     return cents
 
 
-def _cell_scores(vec: Column, cents: list[list[float]]) -> Column:
+def _cell_scores(vec: Column, cents_col: Column) -> Column:
     """array<struct<dot,cell_id>> of centroid dot products (struct ordered so
-    array_max / sort compare by dot first, cell_id as deterministic tiebreak)."""
-    return F.array(
-        *[
-            F.struct(
-                F.round(dot(vec, F.array(*[F.lit(x) for x in c])), 9).alias("dot"),
-                F.lit(i).alias("cell_id"),
-            )
-            for i, c in enumerate(cents)
-        ]
+    array_max / sort compare by dot first, cell_id as deterministic tiebreak).
+    ``cents_col`` is the array<array<double>> centroid table attached via
+    ``_with_constant_table`` — shipped once per executor, not per task."""
+    return F.transform(
+        cents_col,
+        lambda cv, i: F.struct(
+            F.round(dot(vec, cv), 9).alias("dot"),
+            i.cast("int").alias("cell_id"),
+        ),
     )
 
 
@@ -257,24 +276,30 @@ def ivf_topk(
 
     (query_id, vec_id, cos, rank) — same shape/scoring as brute_force_topk;
     with n_probe == n_cells the output is exactly the brute-force result.
-    At scale: cell assignment is one narrow pass (centroids are literals in
-    the plan, ~n_cells*dim doubles), the probe is an equi-join on cell_id —
+    At scale: cell assignment is one narrow pass (the centroid table rides a
+    one-row broadcast relation — shipped once per executor, never inside
+    task binaries), the probe is an equi-join on cell_id —
     a keyed shuffle of 1/(n_cells/n_probe) of the corpus — and the re-rank
     runs only inside probed cells. Hot cells split via AQE skew-join.
     """
     cents = _train_centroids(
         corpus, dim, n_cells, id_col, vec_col, sample_size, kmeans_iters, seed
     )
-    c = corpus.select(
+    cents_ddl = "array<array<double>>"
+    c = _with_constant_table(corpus, "_cents", cents, cents_ddl).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),
-        F.array_max(_cell_scores(F.col(vec_col), cents))["cell_id"].alias("cell_id"),
+        F.array_max(_cell_scores(F.col(vec_col), F.col("_cents")))["cell_id"].alias("cell_id"),
     )
     probes = F.transform(
-        F.slice(F.reverse(F.array_sort(_cell_scores(F.col(vec_col), cents))), 1, n_probe),
+        F.slice(
+            F.reverse(F.array_sort(_cell_scores(F.col(vec_col), F.col("_cents")))),
+            1,
+            n_probe,
+        ),
         lambda s: s["cell_id"],
     )
-    q = queries.select(
+    q = _with_constant_table(queries, "_cents", cents, cents_ddl).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(probes).alias("cell_id"),

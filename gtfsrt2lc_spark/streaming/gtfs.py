@@ -73,8 +73,15 @@ def stream_feeds_to_connections(
             )
         )
         for i, (_mt, path) in enumerate(files):
+            # read THIS file directly rather than re-filtering batch_df:
+            # the where(path==...) form re-scans the whole batch source per
+            # file — O(files^2) bytes per micro-batch at high poll fan-in —
+            # while a direct single-path load scans each feed exactly once
+            # (the drop dir is append-only, so the file still exists)
             updates = decode_feed_df(
-                batch_df.where(F.col("path") == path)
+                spark.read.format("binaryFile")
+                .schema(BINARYFILE_SCHEMA)
+                .load(path)
                 .select(F.col("content").alias("payload"))
             )
             conns = pipeline.connections(updates)

@@ -111,12 +111,22 @@ def run_incremental(
     from pyspark.sql import Observation
 
     obs = Observation()
-    triples = pipeline.triples(todo, with_part=True).observe(
-        obs,
-        *[
-            F.sum((F.col("part_id") == p).cast("long")).alias(f"p_{p}")
-            for p in todo_parts
-        ],
+    # Cluster by part_id before the dynamic-partition write: without it every
+    # reduce task holds rows of ALL in-flight buckets and the write fans out
+    # to shuffle_partitions x n_buckets small files (measured 4-5 s of
+    # file-commit churn that GROWS with core count — anti-scaling); one
+    # narrow shuffle of the already-deduped triples lands one file per
+    # bucket instead, aligned with the manifest's retry granularity.
+    triples = (
+        pipeline.triples(todo, with_part=True)
+        .repartition("part_id")
+        .observe(
+            obs,
+            *[
+                F.sum((F.col("part_id") == p).cast("long")).alias(f"p_{p}")
+                for p in todo_parts
+            ],
+        )
     )
     triples.write.mode("append").partitionBy("part_id").parquet(_triples_path(out_dir))
 

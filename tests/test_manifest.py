@@ -112,3 +112,24 @@ def test_explicit_scratch_dir_used_and_cleaned(spark, corpus_dfs, corpus, tmp_pa
 
     pipe.cleanup()
     assert os.listdir(scratch) == []
+
+
+def test_triple_write_one_file_per_bucket(spark, corpus_dfs, tmp_path_factory):
+    """Regression guard for the anti-scaling write: the dynamic-partition
+    triple write must land O(1) files per bucket dir, not
+    shuffle_partitions x buckets (file-commit churn that grew with core
+    count)."""
+    import os
+
+    out = str(tmp_path_factory.mktemp("kg_out_files"))
+    pages, records, surfaces, sameas = corpus_dfs
+    preds = {phrase: local for phrase, (local, _, _) in PREDICATES.items()}
+    pipe = KGPipeline(records, surfaces, sameas, preds)
+    run_incremental(spark, pages, pipe, out, n_buckets=8, run_id="rf")
+
+    tdir = os.path.join(out, "triples")
+    part_dirs = [d for d in os.listdir(tdir) if d.startswith("part_id=")]
+    assert part_dirs
+    for d in part_dirs:
+        files = [f for f in os.listdir(os.path.join(tdir, d)) if f.startswith("part-")]
+        assert len(files) <= 2, f"{d} has {len(files)} files (write not clustered)"

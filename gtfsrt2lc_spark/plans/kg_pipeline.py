@@ -114,12 +114,20 @@ class KGPipeline:
             ).alias("sentence"),
         )
         p = self._svo_pattern
-        svo = sent.select(
+        # rlike-first: the anchored SVO pattern runs ONCE per sentence as a
+        # boolean filter, and the three group extractions run only on the
+        # (rare) matching sentences — the old shape evaluated regexp_extract
+        # three times on EVERY sentence before filtering (3x the regex work
+        # on a stream of ~hundreds of sentences per page). Equivalent rows:
+        # regexp_extract and rlike both use find() on the same anchored
+        # pattern, and every alternation branch of pred_phrase is non-empty,
+        # so "pattern matches" == "group 2 extracted non-empty".
+        svo = sent.where(F.col("sentence").rlike(p)).select(
             *carry,
             F.regexp_extract("sentence", p, 1).alias("subj_surface"),
             F.regexp_extract("sentence", p, 2).alias("pred_phrase"),
             F.regexp_extract("sentence", p, 3).alias("obj_surface"),
-        ).where(F.col("pred_phrase") != "")
+        )
         return svo
 
     # ---- stage 4 ---------------------------------------------------------

@@ -4,12 +4,14 @@ A training-data pipeline at corpus scale treats media as ``binary`` columns
 with typed metadata structs. The Spark-side plumbing here is real and tested —
 schemas, Arrow batch shapes, ``mapInPandas`` partition iteration, partition
 sizing. Pixel decode is REAL for uncompressed 24-bit BMP (pure
-struct + numpy) AND non-interlaced 8-bit PNG (stdlib zlib + the five
-scanline filters), both dependency-free, driving the full decode ->
-resize -> grayscale-feature path end-to-end including a compressed format;
-JPEG/audio codecs need imaging libraries absent from this container and sit
-behind the same ``PIXEL_DECODERS`` hook (register a PIL/opencv-backed
-callable to activate — the surrounding Spark plumbing is identical).
+struct + numpy), non-interlaced 8-bit PNG (stdlib zlib + the five scanline
+filters), and GIF87a/89a first frames (the spec's LZW variant in pure
+Python, palette + deinterlace in numpy) — all dependency-free, driving the
+full decode -> resize -> grayscale-feature path end-to-end including two
+compressed formats; JPEG/audio codecs need imaging libraries absent from
+this container and sit behind the same ``PIXEL_DECODERS`` hook (register a
+PIL/opencv-backed callable to activate — the surrounding Spark plumbing is
+identical).
 Header-only metadata (format sniff, PNG/GIF/BMP dimensions) is
 dependency-free for all formats.
 
@@ -192,6 +194,132 @@ def decode_png(data: bytes):
     return px[:, :, :3].copy()  # RGB / RGBA -> drop alpha
 
 
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
+    """GIF-variant LZW (GIF89a spec appendix F): variable code width starting
+    at min_code_size+1, clear/EOI codes, dictionary capped at 4096 entries.
+    Stops after ``expected`` pixels (defensive against trailing junk)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("LZW: first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW: code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return out
+    return out
+
+
+def decode_gif(data: bytes):
+    """REAL pixel decode for GIF87a/GIF89a (first frame) — dependency-free:
+    the public spec's LZW variant in pure Python, palette lookup and
+    deinterlacing in numpy. Returns an (h, w, 3) uint8 RGB array (animation
+    frames beyond the first and transparency are out of scope — the first
+    frame is the standard thumbnail/feature input). Malformed structure
+    raises ValueError."""
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = data[10]
+    gct = None
+    pos = 13
+    if flags & 0x80:  # global color table
+        n = 2 << (flags & 0x07)
+        gct = data[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("truncated image descriptor")
+            w, h = struct.unpack_from("<HH", data, pos + 5)
+            iflags = data[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:  # local color table wins
+                n = 2 << (iflags & 0x07)
+                ct = data[pos : pos + 3 * n]
+                if len(ct) < 3 * n:
+                    raise ValueError("truncated local color table")
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("no color table")
+            if w == 0 or h == 0:
+                raise ValueError("zero-dimension GIF")
+            min_code = data[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"bad LZW min code size {min_code}")
+            chunks = []
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                chunk = data[pos + 1 : pos + 1 + ln]
+                if len(chunk) < ln:
+                    raise ValueError("truncated image data sub-block")
+                chunks.append(chunk)
+                pos += 1 + ln
+            idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            indices = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8)
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            if int(indices.max()) >= pal.shape[0]:
+                raise ValueError("palette index out of range")
+            px = pal[indices].reshape(h, w, 3)
+            if iflags & 0x40:  # deinterlace (4-pass row order)
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                out = np.empty_like(px)
+                out[order] = px
+                px = out
+            return px.copy()
+        elif b == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("no image data in GIF")
+
+
 def resize_nearest(arr, out_w: int, out_h: int):
     """Deterministic nearest-neighbor resize (numpy index sampling)."""
     import numpy as np
@@ -224,6 +352,7 @@ MEDIA_DECODERS: dict[str, Callable[[bytes], tuple[int, int]]] = {}
 PIXEL_DECODERS: dict[str, Callable[[bytes], object]] = {
     "bmp": decode_bmp,
     "png": decode_png,
+    "gif": decode_gif,
 }
 
 

@@ -301,3 +301,152 @@ def test_media_features_decodes_real_png(spark):
     row = media_features(df, size=2).collect()[0]
     assert row["decodable"] and (row["width"], row["height"]) == (4, 4)
     assert row["feature"] == pytest.approx([120 / 255.0] * 4)
+
+
+# ---- GIF decode (real, dependency-free) -----------------------------------
+
+def _gif_full(pixel_rows, palette, min_code=None, interlace=False, version=b"GIF89a"):
+    """Spec-faithful GIF encoder for tests (GIF89a appendix F): emits each
+    pixel index as its own LZW code while mirroring the decoder's exact
+    table-growth/width schedule, re-clearing before the 12-bit cap — the
+    classic 'uncompressed GIF' writer. Decode must run the real LZW
+    machinery (clear/EOI, width growth, dictionary) to recover the pixels."""
+    h = len(pixel_rows)
+    w = len(pixel_rows[0])
+    k = max(2, (len(palette) - 1).bit_length())
+    if min_code is None:
+        min_code = k
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    rows = list(pixel_rows)
+    iflags = 0
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = [pixel_rows[y] for y in order]
+        iflags |= 0x40
+
+    indices = [i for row in rows for i in row]
+    out_codes = []
+    width = min_code + 1
+    table_len = eoi + 1
+    out_codes.append((clear, width))
+    first = True
+    for idx in indices:
+        out_codes.append((idx, width))
+        if first:
+            first = False
+        else:
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+        if table_len >= 3800:  # re-clear well before the 4096 cap
+            out_codes.append((clear, width))
+            width = min_code + 1
+            table_len = eoi + 1
+            first = True
+    out_codes.append((eoi, width))
+
+    acc = bits = 0
+    packed = bytearray()
+    for code, wd in out_codes:
+        acc |= code << bits
+        bits += wd
+        while bits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        packed.append(acc & 0xFF)
+
+    gct = bytearray()
+    for i in range(1 << k):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    out = bytearray()
+    out += version
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (k - 1))  # GCT present, size 2^k
+    out += b"\x00\x00"          # bg color, aspect
+    out += gct
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([iflags])
+    out.append(min_code)
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_pixel_decode_exact():
+    from gtfsrt2lc_spark.functions.multimodal import decode_gif
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    px = [[0, 1, 2], [3, 2, 1]]
+    arr = decode_gif(_gif_full(px, palette))
+    assert arr.shape == (2, 3, 3)
+    got = [tuple(int(v) for v in arr[y][x]) for y in range(2) for x in range(3)]
+    assert got == [(255, 0, 0), (0, 255, 0), (0, 0, 255),
+                   (10, 20, 30), (0, 0, 255), (0, 255, 0)]
+
+
+def test_gif_interlaced_and_87a():
+    from gtfsrt2lc_spark.functions.multimodal import decode_gif
+
+    palette = [(i, 2 * i, 3 * i) for i in range(8)]
+    px = [[(y * 5 + x) % 8 for x in range(5)] for y in range(9)]
+    flat = decode_gif(_gif_full(px, palette, version=b"GIF87a"))
+    inter = decode_gif(_gif_full(px, palette, interlace=True))
+    assert (flat == inter).all()
+    assert tuple(int(v) for v in flat[3][2]) == (
+        palette[(3 * 5 + 2) % 8]
+    )
+
+
+def test_gif_lzw_dictionary_growth():
+    """Enough pixels that the code width grows past min+1 and a mid-stream
+    re-clear fires — the full LZW state machine, not just the happy path."""
+    from gtfsrt2lc_spark.functions.multimodal import decode_gif
+
+    palette = [(i, i, i) for i in range(4)]
+    w, h = 64, 80  # 5120 px with min_code=2 -> several width bumps + reclear
+    px = [[(x * 7 + y * 3) % 4 for x in range(w)] for y in range(h)]
+    arr = decode_gif(_gif_full(px, palette))
+    assert arr.shape == (h, w, 3)
+    for y in (0, 37, 79):
+        for x in (0, 31, 63):
+            assert int(arr[y][x][0]) == (x * 7 + y * 3) % 4
+
+
+def test_gif_rejects_malformed():
+    from gtfsrt2lc_spark.functions.multimodal import decode_gif
+
+    palette = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (0, 0, 0)]
+    good = _gif_full([[0, 1], [2, 3]], palette)
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF90a" + good[6:])       # bad version
+    with pytest.raises(ValueError):
+        decode_gif(good[:20])                  # truncated
+    with pytest.raises(ValueError):
+        # corrupt the image-descriptor block byte (0x2c, right after the
+        # 12-byte GCT) into an unknown block type
+        decode_gif(good[:25] + b"\x99" + good[26:])
+    trailer_only = good[:13 + 12] + b"\x3b"    # GCT then trailer, no image
+    with pytest.raises(ValueError):
+        decode_gif(trailer_only)
+
+
+def test_media_features_decodes_real_gif(spark):
+    from gtfsrt2lc_spark.functions.multimodal import media_features
+
+    palette = [(60, 60, 60)]
+    px = [[0] * 4 for _ in range(4)]
+    df = spark.createDataFrame(
+        [(1, _gif_full(px, palette))], "id long, media binary"
+    )
+    row = media_features(df, size=2).collect()[0]
+    assert row["decodable"] and (row["width"], row["height"]) == (4, 4)
+    assert row["feature"] == pytest.approx([60 / 255.0] * 4)

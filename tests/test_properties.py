@@ -279,3 +279,35 @@ def test_png_decode_roundtrip(w, h, color, data):
             p = px[y][x]
             rgb = (p, p, p) if ch == 1 else tuple(p[:3])
             assert tuple(int(v) for v in arr[y][x]) == rgb, (y, x, filters)
+
+
+# ---- GIF decode round-trip (LZW + palette + interlace) --------------------
+
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 9),
+    ncolors=st.integers(2, 8),
+    interlace=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=120, deadline=None)
+def test_gif_decode_roundtrip(w, h, ncolors, interlace, data):
+    """encode(random palette + indices, optional interlace) -> decode ==
+    palette[indices]: exercises the LZW width schedule, clear handling, and
+    the 4-pass deinterlace row mapping."""
+    from gtfsrt2lc_spark.functions.multimodal import decode_gif
+    from tests.test_multimodal import _gif_full
+
+    palette = [
+        tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+        for _ in range(ncolors)
+    ]
+    px = [
+        [data.draw(st.integers(0, ncolors - 1)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    arr = decode_gif(_gif_full(px, palette, interlace=interlace))
+    assert arr.shape == (h, w, 3)
+    for y in range(h):
+        for x in range(w):
+            assert tuple(int(v) for v in arr[y][x]) == palette[px[y][x]], (y, x)

@@ -320,6 +320,110 @@ def decode_gif(data: bytes):
     raise ValueError("no image data in GIF")
 
 
+def decode_wav(data: bytes):
+    """REAL audio decode for RIFF/WAVE PCM (8/16-bit, any channel count) —
+    dependency-free struct + numpy. Returns (samples, sample_rate): samples
+    is an (n_frames, channels) float64 array normalized to [-1, 1].
+    Compressed codecs (non-PCM format tags) raise NotImplementedError;
+    malformed structure raises ValueError."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = None
+    frames = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            tag, channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if tag != 1:  # PCM only; 3=float, 0x55=mp3, ...
+                raise NotImplementedError(f"WAV format tag {tag} (non-PCM)")
+            if channels == 0 or rate == 0 or bits not in (8, 16):
+                raise ValueError(f"bad fmt (channels={channels}, rate={rate}, bits={bits})")
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt")
+            channels, rate, bits = fmt
+            if bits == 16:
+                raw = np.frombuffer(body, dtype="<i2", count=len(body) // 2)
+                samples = raw.astype(np.float64) / 32768.0
+            else:  # 8-bit WAV is unsigned, midpoint 128
+                raw = np.frombuffer(body, dtype=np.uint8)
+                samples = (raw.astype(np.float64) - 128.0) / 128.0
+            n = (len(samples) // channels) * channels
+            frames = samples[:n].reshape(-1, channels)
+            break
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or frames is None:
+        raise ValueError("missing fmt/data chunk")
+    return frames, fmt[1]
+
+
+def audio_features(
+    df: DataFrame, media_col: str = "media", n_windows: int = 8
+) -> DataFrame:
+    """Decode -> mono mixdown -> per-window RMS energy profile, the standard
+    audio pre-embedding shape, through Arrow mapInPandas (the audio twin of
+    ``media_features``). Undecodable/compressed blobs yield NULL features
+    and decodable=false rather than failing the batch.
+
+    Output: input columns + (sample_rate int, n_frames bigint, channels int,
+    duration_s double, decodable boolean, rms array<float> of n_windows
+    window energies)."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + (
+        ", sample_rate int, n_frames bigint, channels int, duration_s double,"
+        " decodable boolean, rms array<float>"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rates, nfs, chs, durs, oks, rmss = [], [], [], [], [], []
+            for data in pdf[media_col]:
+                b = bytes(data) if data is not None else None
+                if b is None or sniff_format(b) != "wav":
+                    rates.append(None); nfs.append(None); chs.append(None)
+                    durs.append(None); oks.append(False); rmss.append(None)
+                    continue
+                try:
+                    frames, rate = decode_wav(b)
+                except (ValueError, NotImplementedError):
+                    rates.append(None); nfs.append(None); chs.append(None)
+                    durs.append(None); oks.append(False); rmss.append(None)
+                    continue
+                n, c = frames.shape
+                if n == 0:
+                    rates.append(None); nfs.append(None); chs.append(None)
+                    durs.append(None); oks.append(False); rmss.append(None)
+                    continue
+                mono = frames.mean(axis=1)
+                # deterministic equal-ish windows (last takes the remainder)
+                edges = [(i * n) // n_windows for i in range(n_windows + 1)]
+                rms = [
+                    float(np.sqrt(np.mean(mono[a:b_] ** 2))) if b_ > a else 0.0
+                    for a, b_ in zip(edges, edges[1:])
+                ]
+                rates.append(rate); nfs.append(n); chs.append(c)
+                durs.append(n / rate); oks.append(True); rmss.append(rms)
+            yield pdf.assign(
+                sample_rate=rates, n_frames=nfs, channels=chs,
+                duration_s=durs, decodable=oks, rms=rmss,
+            )
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
 def resize_nearest(arr, out_w: int, out_h: int):
     """Deterministic nearest-neighbor resize (numpy index sampling)."""
     import numpy as np

@@ -1,9 +1,12 @@
 """Multimodal plumbing: binary media columns + typed metadata via mapInPandas.
 
-BMP pixel decode is real (pure numpy) and drives the decode -> resize ->
-featurize path end-to-end; JPEG/PNG decode sits behind the PIXEL_DECODERS
-hook (no imaging libs in the container). Spark-side schema/batching/
-expansion shapes asserted throughout.
+BMP/PNG/GIF pixel decode and WAV PCM audio decode are real (pure
+struct/zlib/numpy) and drive the decode -> resize/mixdown -> featurize
+paths end-to-end; JPEG sits behind the PIXEL_DECODERS hook (no imaging
+libs in the container). Each real decoder is tested against a
+spec-faithful encoder written here, so the decoders exercise the actual
+format machinery rather than mirroring library code. Spark-side
+schema/batching/expansion shapes asserted throughout.
 """
 
 from __future__ import annotations
@@ -450,3 +453,73 @@ def test_media_features_decodes_real_gif(spark):
     row = media_features(df, size=2).collect()[0]
     assert row["decodable"] and (row["width"], row["height"]) == (4, 4)
     assert row["feature"] == pytest.approx([60 / 255.0] * 4)
+
+
+# ---- WAV decode + audio features ------------------------------------------
+
+def _wav(frames, rate=8000, bits=16, channels=None):
+    """Minimal RIFF/WAVE PCM writer: frames = [[ch0, ch1, ...], ...] with
+    float values in [-1, 1]."""
+    channels = channels or len(frames[0])
+    body = bytearray()
+    for fr in frames:
+        for v in fr:
+            if bits == 16:
+                body += struct.pack("<h", int(round(v * 32767)))
+            else:
+                body += struct.pack("<B", int(round(v * 127)) + 128)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * bits // 8, channels * bits // 8, bits)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + bytes(body)
+    return out
+
+
+def test_wav_decode_exact():
+    from gtfsrt2lc_spark.functions.multimodal import decode_wav
+
+    frames = [[0.5, -0.5], [1.0, 0.0], [-1.0, 0.25]]
+    samples, rate = decode_wav(_wav(frames, rate=44100))
+    assert rate == 44100 and samples.shape == (3, 2)
+    assert abs(samples[0][0] - 0.5) < 1e-3
+    assert abs(samples[1][0] - 1.0) < 1e-3
+    assert abs(samples[2][1] - 0.25) < 1e-3
+
+    mono8, rate8 = decode_wav(_wav([[0.0], [0.5]], rate=8000, bits=8))
+    assert rate8 == 8000 and mono8.shape == (2, 1)
+    assert abs(mono8[1][0] - 0.5) < 0.02  # 8-bit quantization
+
+
+def test_wav_rejects_malformed_and_compressed():
+    from gtfsrt2lc_spark.functions.multimodal import decode_wav
+
+    good = _wav([[0.1], [0.2]])
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + good[4:])        # bad magic
+    with pytest.raises(ValueError):
+        decode_wav(good[:30])                 # truncated chunk
+    mp3ish = bytearray(good)
+    mp3ish[20] = 0x55                         # format tag: MPEG layer 3
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(mp3ish))
+
+
+def test_audio_features_end_to_end(spark):
+    """Silence vs full-scale square wave: RMS windows must read ~0 and ~1,
+    and non-WAV blobs yield NULL features."""
+    from gtfsrt2lc_spark.functions.multimodal import audio_features
+
+    silence = _wav([[0.0]] * 800)
+    loud = _wav([[1.0 if i % 2 == 0 else -1.0] for i in range(800)])
+    df = spark.createDataFrame(
+        [(1, silence), (2, loud), (3, b"not audio"), (4, None)],
+        "id long, media binary",
+    )
+    rows = {r["id"]: r for r in audio_features(df, n_windows=4).collect()}
+    assert rows[1]["decodable"] and rows[1]["sample_rate"] == 8000
+    assert rows[1]["duration_s"] == pytest.approx(0.1)
+    assert rows[1]["rms"] == pytest.approx([0.0] * 4)
+    assert rows[2]["rms"] == pytest.approx([1.0] * 4, abs=1e-3)
+    assert not rows[3]["decodable"] and rows[3]["rms"] is None
+    assert not rows[4]["decodable"]

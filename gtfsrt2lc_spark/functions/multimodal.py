@@ -167,23 +167,31 @@ def decode_png(data: bytes):
         if ftype == 0:  # none
             pass
         elif ftype == 1:  # sub: a[x] = raw[x] + a[x-bpp]  (mod 256)
-            for x in range(bpp, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+            # per-channel-lane cumulative sum; uint8 accumulate wraps mod 256
+            # exactly per spec — vectorized (was a per-byte Python loop)
+            lanes = cur.reshape(w, bpp)
+            np.add.accumulate(lanes, axis=0, dtype=np.uint8, out=lanes)
         elif ftype == 2:  # up (uint8 add wraps mod 256 — exactly the spec)
             cur += prev
         elif ftype == 3:  # average
+            # left-neighbor recurrence is inherently sequential; plain-int
+            # list walk is ~8x faster than numpy scalar indexing per byte
+            cl, pl = cur.tolist(), prev.tolist()
             for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+                left = cl[x - bpp] if x >= bpp else 0
+                cl[x] = (cl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            cur = np.asarray(cl, dtype=np.uint8)
         elif ftype == 4:  # paeth
+            cl, pl = cur.tolist(), prev.tolist()
             for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
+                a = cl[x - bpp] if x >= bpp else 0
+                b = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
                 q = a + b - c
                 pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(cur[x]) + pred) & 0xFF
+                cl[x] = (cl[x] + pred) & 0xFF
+            cur = np.asarray(cl, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur

@@ -92,7 +92,17 @@ def _with_constant_table(df: DataFrame, col_name: str, value, ddl: str) -> DataF
     in every serialized task binary (TaskSetManager 'very large task'
     warnings) and inflate Janino codegen. A broadcast nested-loop join
     against a one-row LocalRelation ships the constant ONCE per executor and
-    keeps the row math in whole-stage codegen."""
+    keeps the row math in whole-stage codegen.
+
+    ``col_name`` is reserved: raises ValueError if the input already carries
+    it (same contract as dedup_exact's reserved-column guard) — the
+    alternative is a confusing ambiguous-reference AnalysisException deep in
+    lsh_topk/ivf_topk."""
+    if col_name in df.columns:
+        raise ValueError(
+            f"input DataFrame already has a column named '{col_name}' "
+            f"(reserved by this operator); rename it first"
+        )
     one = df.sparkSession.createDataFrame([(value,)], f"{col_name} {ddl}")
     return df.crossJoin(F.broadcast(one))
 

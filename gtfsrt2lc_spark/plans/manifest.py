@@ -80,6 +80,42 @@ def run_incremental(
         pipeline.scratch_dir = (
             f"{out_dir.rstrip('/')}/_stage/{run_id}-{uuid.uuid4().hex[:8]}"
         )
+        # Exception safety for the owned scratch: a failed run must not leave
+        # pipeline.scratch_dir set (a retry would treat the stale dir as
+        # caller-owned and never delete the failed run's _stage parquet).
+        try:
+            return _run_incremental_body(
+                spark, pages, pipeline, out_dir, n_buckets, run_id, t0, owns_scratch
+            )
+        except BaseException:
+            try:
+                if hasattr(pipeline, "cleanup"):
+                    pipeline.cleanup()
+            except Exception:
+                pass
+            try:
+                from gtfsrt2lc_spark.functions import hadoop_fs
+
+                hadoop_fs.delete(spark, pipeline.scratch_dir)
+            except Exception:
+                pass
+            pipeline.scratch_dir = None
+            raise
+    return _run_incremental_body(
+        spark, pages, pipeline, out_dir, n_buckets, run_id, t0, owns_scratch
+    )
+
+
+def _run_incremental_body(
+    spark: SparkSession,
+    pages: DataFrame,
+    pipeline,
+    out_dir: str,
+    n_buckets: int,
+    run_id: str,
+    t0: float,
+    owns_scratch: bool,
+) -> dict:
     bucketed = pages.withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     )

@@ -77,13 +77,28 @@ def fetch_bytes(
     return _decompress(body, encoding)
 
 
-def _pump(src, dst, decomp, chunk_size: int) -> None:
-    """Stream src -> dst through an incremental zlib decompressor."""
+def _pump(src, dst, decomp, chunk_size: int, new_member=None) -> None:
+    """Stream src -> dst through an incremental zlib decompressor.
+
+    ``new_member`` is a factory for a fresh decompressor used to continue
+    across concatenated stream members (multi-member gzip, RFC 1952 §2.2) —
+    the buffered path's gzip.decompress is multi-member-aware, and the
+    streaming path must match it instead of silently truncating after the
+    first member. When ``new_member`` is None (deflate), trailing bytes after
+    the stream are an error, not silent truncation."""
     while True:
         chunk = src.read(chunk_size)
         if not chunk:
             break
         dst.write(decomp.decompress(chunk))
+        while decomp.eof and decomp.unused_data:
+            tail = decomp.unused_data
+            if new_member is None:
+                raise IOError(
+                    f"{len(tail)} trailing bytes after end of deflate stream"
+                )
+            decomp = new_member()
+            dst.write(decomp.decompress(tail))
     dst.write(decomp.flush())
 
 
@@ -114,7 +129,8 @@ def fetch_to_file(
             enc = (res.headers.get("Content-Encoding") or "").strip().lower()
             with open(dest, "wb") as f:
                 if enc == "gzip":
-                    _pump(res, f, zlib.decompressobj(16 + zlib.MAX_WBITS), chunk_size)
+                    gz = lambda: zlib.decompressobj(16 + zlib.MAX_WBITS)  # noqa: E731
+                    _pump(res, f, gz(), chunk_size, new_member=gz)
                 elif enc == "deflate":
                     # sniff zlib-vs-raw on the first chunk, then stream
                     first = res.read(chunk_size)
@@ -125,6 +141,11 @@ def fetch_to_file(
                         d = zlib.decompressobj(-zlib.MAX_WBITS)
                         out = d.decompress(first)
                     f.write(out)
+                    if d.eof and d.unused_data:
+                        raise IOError(
+                            f"{len(d.unused_data)} trailing bytes after end of "
+                            "deflate stream"
+                        )
                     _pump(res, f, d, chunk_size)
                 else:  # unknown encodings pass through untouched
                     shutil.copyfileobj(res, f, chunk_size)

@@ -14,6 +14,7 @@ and lands each epoch in its own overwrite-mode ``epoch=N`` directory
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +34,13 @@ _OUT_SCHEMA = (
     "headsign string, pickup_type string, drop_off_type string"
 )
 _OUT_COLS = [f.split(" ")[0] for f in _OUT_SCHEMA.split(", ")]
+
+
+def _glob_escape(path: str) -> str:
+    """Escape Hadoop glob metacharacters in a concrete file path so
+    ``spark.read.load(path)`` reads exactly that file (GlobPattern treats
+    ``* ? [ ] { } \\`` as pattern syntax)."""
+    return re.sub(r"([*?\[\]{}\\])", r"\\\1", path)
 
 
 def stream_feeds_to_connections(
@@ -76,14 +84,26 @@ def stream_feeds_to_connections(
             # read THIS file directly rather than re-filtering batch_df:
             # the where(path==...) form re-scans the whole batch source per
             # file — O(files^2) bytes per micro-batch at high poll fan-in —
-            # while a direct single-path load scans each feed exactly once
-            # (the drop dir is append-only, so the file still exists)
-            updates = decode_feed_df(
-                spark.read.format("binaryFile")
-                .schema(BINARYFILE_SCHEMA)
-                .load(path)
-                .select(F.col("content").alias("payload"))
-            )
+            # while a direct single-path load scans each feed exactly once.
+            # The path is GLOB-ESCAPED (Hadoop's load() treats [, {, * as
+            # pattern metacharacters — a feed named "feed[1].pb" would
+            # otherwise read nothing or the wrong file). The direct load
+            # assumes the drop dir is append-only between source snapshot
+            # and processing; if a retention sweep deleted the file, fall
+            # back to filtering the batch source snapshot, which still holds
+            # the bytes.
+            if hadoop_fs.exists(spark, path):
+                src = (
+                    spark.read.format("binaryFile")
+                    .schema(BINARYFILE_SCHEMA)
+                    .load(_glob_escape(path))
+                    .select(F.col("content").alias("payload"))
+                )
+            else:  # retention sweep beat us to it: use the source snapshot
+                src = batch_df.where(F.col("path") == path).select(
+                    F.col("content").alias("payload")
+                )
+            updates = decode_feed_df(src)
             conns = pipeline.connections(updates)
             fresh = history_store.filter_new(conns).persist()
             n_fresh = fresh.count()

@@ -72,6 +72,16 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(b"denied", 401)
         elif p == "/gtfs.zip":
             self._send(STATIC_ZIP)
+        elif p == "/feed.gz2":
+            # concatenated two-member gzip body (RFC 1952 §2.2: valid, and
+            # what rolling log compressors produce)
+            half = len(FEED) // 2
+            self._send(
+                gzip.compress(FEED[:half]) + gzip.compress(FEED[half:]),
+                Content_Encoding="gzip",
+            )
+        elif p == "/feed.deflate_trailing":
+            self._send(zlib.compress(FEED) + b"JUNKJUNK", Content_Encoding="deflate")
         else:
             self._send(b"not here", 404)
 
@@ -203,6 +213,25 @@ def test_fetch_to_file_streams_compressed_urls(server, tmp_path):
         dest = tmp_path / path.replace(".", "_")
         fetch_to_file(f"{server}/{path}", str(dest), chunk_size=7)
         assert dest.read_bytes() == FEED, path
+
+
+def test_fetch_to_file_multimember_gzip(server, tmp_path):
+    """Streaming gzip path must decode ALL members of a concatenated gzip
+    body (RFC 1952 §2.2), matching the buffered fetch_bytes — not silently
+    truncate after the first member."""
+    assert fetch_bytes(f"{server}/feed.gz2") == FEED  # buffered path baseline
+    dest = tmp_path / "multi"
+    fetch_to_file(f"{server}/feed.gz2", str(dest), chunk_size=7)
+    assert dest.read_bytes() == FEED
+
+
+def test_fetch_to_file_deflate_trailing_junk_raises(server, tmp_path):
+    """Trailing bytes after a deflate stream are an error, not silent
+    truncation (there is no multi-member deflate)."""
+    with pytest.raises(IOError, match="trailing bytes"):
+        fetch_to_file(
+            f"{server}/feed.deflate_trailing", str(tmp_path / "t"), chunk_size=7
+        )
 
 
 def test_fetch_to_file_4xx_rejects(server, tmp_path):

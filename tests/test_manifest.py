@@ -114,6 +114,41 @@ def test_explicit_scratch_dir_used_and_cleaned(spark, corpus_dfs, corpus, tmp_pa
     assert os.listdir(scratch) == []
 
 
+def test_failed_run_releases_scratch_ownership(spark, corpus_dfs, tmp_path_factory):
+    """A run that fails mid-pipeline must delete its owned _stage scratch and
+    reset pipeline.scratch_dir, so a retry re-acquires a fresh scratch instead
+    of treating the stale one as caller-owned (and leaking it forever)."""
+    import os
+
+    out = str(tmp_path_factory.mktemp("kg_out_fail"))
+    pages, records, surfaces, sameas = corpus_dfs
+    preds = {phrase: local for phrase, (local, _, _) in PREDICATES.items()}
+    pipe = KGPipeline(records, surfaces, sameas, preds)
+
+    boom = RuntimeError("mid-run failure")
+    real_triples = pipe.triples
+
+    def failing_triples(pages_df, with_part=False):
+        # fail AFTER the stage checkpoint has been written to scratch
+        df = real_triples(pages_df, with_part=with_part)
+        raise boom
+
+    pipe.triples = failing_triples
+    with pytest.raises(RuntimeError, match="mid-run failure"):
+        run_incremental(spark, pages, pipe, out, n_buckets=4, run_id="rx")
+
+    assert pipe.scratch_dir is None  # ownership released
+    stage_root = os.path.join(out, "_stage")
+    leftovers = os.listdir(stage_root) if os.path.exists(stage_root) else []
+    assert leftovers == []  # failed run's stage parquet deleted
+
+    # the retry works end-to-end with the same pipeline object
+    pipe.triples = real_triples
+    m = run_incremental(spark, pages, pipe, out, n_buckets=4, run_id="retry")
+    assert m["parts"] == 4
+    assert pipe.scratch_dir is None
+
+
 def test_triple_write_one_file_per_bucket(spark, corpus_dfs, tmp_path_factory):
     """Regression guard for the anti-scaling write: the dynamic-partition
     triple write must land O(1) files per bucket dir, not

@@ -114,3 +114,13 @@ def test_lsh_topk_no_broadcast_hint_when_disabled(spark, emb):
     assert sorted(map(tuple, unhinted.collect())) == sorted(
         map(tuple, hinted.collect())
     )
+
+
+def test_reserved_constant_column_rejected(spark, emb):
+    """An input already carrying the operator's reserved constant column name
+    must fail fast with a clear ValueError, not an ambiguous-reference
+    AnalysisException mid-plan (same contract as dedup_exact)."""
+    poisoned = emb.withColumn("_tables", F.lit(1))
+    q = poisoned.where(F.col("vec_id") == 0)
+    with pytest.raises(ValueError, match="_tables.*reserved"):
+        lsh_topk(poisoned, q, dim=DIM, k=3)

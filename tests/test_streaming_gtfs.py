@@ -59,3 +59,23 @@ def test_poll_mode_differential(spark, pipeline, tmp_path):
     assert n3 > n1
     cancelled = allc.where("type = 'CancelledConnection'").count()
     assert cancelled == 9  # golden count (ref test :515)
+
+
+def test_glob_metachar_feed_filename(spark, pipeline, tmp_path):
+    """A feed file whose name contains glob metacharacters must still be read
+    exactly (the direct per-file load escapes Hadoop's pattern syntax)."""
+    feed_dir = tmp_path / "feeds"
+    feed_dir.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    store = HistoryStore(spark, str(tmp_path / "history"))
+
+    (feed_dir / "feed[1]{a}.pb").write_bytes(G.gap_feed())
+    _drain(spark, str(feed_dir), pipeline, store, out, ckpt)
+    assert read_stream_connections(spark, out).count() > 0
+
+
+def test_glob_escape_unit():
+    from gtfsrt2lc_spark.streaming.gtfs import _glob_escape
+
+    assert _glob_escape("/d/feed[1]{a}*?.pb") == r"/d/feed\[1\]\{a\}\*\?.pb"
+    assert _glob_escape("/plain/path.pb") == "/plain/path.pb"

@@ -55,6 +55,17 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # Pin the bench (and every child: JVM, python UDF workers inherit
+    # affinity) to exactly the advertised core budget BEFORE the session
+    # starts — the same faithful-executor-proxy rationale as
+    # scripts/bench_scaling.py --pin. On a 32-core host with cpus=32 this is
+    # a no-op; with a smaller budget it stops python workers from spilling
+    # onto unadvertised cores and tightens run-to-run spread.
+    try:
+        os.sched_setaffinity(0, set(range(int(cpus))))
+    except (AttributeError, OSError, ValueError):
+        pass  # non-Linux or budget > host cores: run unpinned
+
     from gtfsrt2lc_spark.session import get_spark
 
     spark = get_spark(
@@ -66,21 +77,29 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # three passes per query: pass 1 warms codegen, page cache and python
-    # workers; on this shared VM any pass can hit a throttling stall, so the
-    # JSON records the FULL per-pass spread ("queries_raw") alongside min
-    # ("queries" — the steady-state headline, convention unchanged since r2)
-    # and median ("queries_median") so a regression is classifiable as real
-    # vs host noise without re-running (a real regression moves the median;
-    # a throttle spike widens the spread).
+    # one untimed warmup pass (codegen, page cache, python workers, shuffle
+    # service), then five timed passes per query; on this shared VM any pass
+    # can hit a throttling stall, so the JSON records the FULL per-pass
+    # spread ("queries_raw") alongside min ("queries" — the steady-state
+    # headline, convention unchanged since r2), median ("queries_median")
+    # and stdev ("queries_stdev") so a regression is classifiable as real vs
+    # host noise without re-running (a real regression moves the median; a
+    # throttle spike widens the spread/stdev).
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
+    for name in BENCH_QUERIES:  # warmup, untimed
+        qs[name](spark, sf_dir).count()
     raw: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
-    for _pass in range(3):
+    for _pass in range(n_passes):
         for name in BENCH_QUERIES:
             t0 = time.monotonic()
             qs[name](spark, sf_dir).count()
             raw[name].append(round(time.monotonic() - t0, 3))
     timings = {name: min(ts) for name, ts in raw.items()}
     medians = {name: sorted(ts)[len(ts) // 2] for name, ts in raw.items()}
+    stdevs = {
+        name: round((sum((t - sum(ts) / len(ts)) ** 2 for t in ts) / len(ts)) ** 0.5, 3)
+        for name, ts in raw.items()
+    }
 
     # flagship: full KG pipeline over a synthesized CC-style page corpus.
     # Pages are STAGED TO PARQUET once (pyarrow, untimed) and read back:
@@ -99,16 +118,21 @@ def main() -> None:
                       {ph: loc for ph, (loc, _, _) in PREDICATES.items()})
     pipe.canonical_map()  # KB prep is amortized across micro-batches; not timed
 
+    pipe.triples(pages.limit(500)).count()  # warm the flagship plan, untimed
+    pipe.cleanup()
     kg_raw = []
-    for _pass in range(3):
+    for _pass in range(n_passes):
         t0 = time.monotonic()
         n_triples = pipe.triples(pages).count()
         kg_raw.append(round(time.monotonic() - t0, 3))
-    pipe.cleanup()
+        pipe.cleanup()
     kg_secs = min(kg_raw)
     raw["kg_pipeline_pages"] = kg_raw
     timings["kg_pipeline_pages"] = round(kg_secs, 3)
     medians["kg_pipeline_pages"] = sorted(kg_raw)[len(kg_raw) // 2]
+    stdevs["kg_pipeline_pages"] = round(
+        (sum((t - sum(kg_raw) / len(kg_raw)) ** 2 for t in kg_raw) / len(kg_raw)) ** 0.5, 3
+    )
     docs_per_sec = n_docs / kg_secs if kg_secs > 0 else 0.0
 
     print(
@@ -119,6 +143,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "queries_stdev": stdevs,
                 "queries_raw": raw,
                 "sf": sf,
                 "n_docs": n_docs,

@@ -208,51 +208,68 @@ class KGPipeline:
         local[32]), while file scans are lock-free and exactly what a
         multi-executor cluster would do. See BENCH/BASELINE.md.
 
-        When the distinct surface set exceeds ``max_local_surfaces`` the
-        driver-side path is unsafe (web-scale corpora mint unbounded
-        capitalized spans), so the mapping is built fully distributed:
-        broadcast-dictionary exact join + MinHash-LSH fuzzy pass over the
-        unmatched remainder, staged once and shuffle-joined to mentions."""
+        When the distinct *unmatched* surface set exceeds
+        ``max_local_surfaces`` the driver-side path is unsafe (web-scale
+        corpora mint unbounded capitalized spans), so the mapping is built
+        fully distributed: broadcast-dictionary exact join + MinHash-LSH
+        fuzzy pass over the unmatched remainder, staged once and
+        shuffle-joined to mentions.
+
+        Serial-path job accounting (the scaling rule's fixed floor): the
+        exact dictionary is already driver-local (KB-sized), so the mapping
+        join needs NO distinct-surface probe job at all — exact matches ride
+        the broadcast of the full dictionary, and the probe that remains
+        collects only the distinct surfaces the dictionary does NOT cover
+        (anti-join, usually empty or noise-sized). fuzzy=False therefore
+        runs zero probe jobs (stage write + final join only), and fuzzy=True
+        runs one probe whose collect volume is bounded by the unmatched set,
+        not the full surface vocabulary — the previous shape collected every
+        distinct surface to the driver and re-uploaded the matched subset."""
         spark = mentions.sparkSession
         mentions = self._stage(mentions)
-        surfs_df = mentions.select(
-            F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
-        ).distinct()
+        dic_local = self._resolved_dictionary()
+        dict_df = spark.createDataFrame(
+            list(dic_local.items()), "surface string, record_id string"
+        )
         local: list[str] | None = None
-        if self.max_local_surfaces is None:
-            local = [r["surface"] for r in surfs_df.collect()]
+        if not self.fuzzy:
+            local = []  # exact-only: the dictionary IS the mapping, no probe
         else:
-            # one job either way: the head IS the local surface list when it
-            # fits, and the size probe when it doesn't
-            head = surfs_df.limit(self.max_local_surfaces + 1).collect()
-            if len(head) <= self.max_local_surfaces:
-                local = [r["surface"] for r in head]
-        if local is not None:
-            mapping = F.broadcast(
-                spark.createDataFrame(
-                    self.surface_mapping_rows(mentions, surfs=local),
-                    "surface string, record_id string",
+            unmatched_df = (
+                mentions.select(
+                    F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
                 )
+                .join(F.broadcast(dict_df.select("surface")), "surface", "left_anti")
+                .distinct()
             )
-        else:
-            from gtfsrt2lc_spark.operators.linking import (
-                link_fuzzy,
-                resolve_dictionary,
-            )
-
-            dic = resolve_dictionary(self.surfaces).select("surface", "record_id")
-            exact = surfs_df.join(F.broadcast(dic), "surface")
-            if self.fuzzy:
-                unmatched = surfs_df.join(
-                    F.broadcast(dic.select("surface")), "surface", "left_anti"
-                )
-                fz = link_fuzzy(
-                    unmatched, self.surfaces, jaccard_threshold=self.fuzzy_threshold
-                ).select("surface", "record_id")
-                mapping = exact.unionByName(fz)
+            if self.max_local_surfaces is None:
+                local = [r["surface"] for r in unmatched_df.collect()]
             else:
-                mapping = exact
-            mapping = self._stage(mapping)
+                # one job either way: the head IS the unmatched list when it
+                # fits, and the size probe when it doesn't
+                head = unmatched_df.limit(self.max_local_surfaces + 1).collect()
+                if len(head) <= self.max_local_surfaces:
+                    local = [r["surface"] for r in head]
+        if local is not None:
+            rows = list(dic_local.items())
+            if local:
+                fz = link_fuzzy(
+                    spark.createDataFrame([(s,) for s in local], "surface string"),
+                    self.surfaces,
+                    jaccard_threshold=self.fuzzy_threshold,
+                ).collect()
+                rows.extend((r["surface"], r["record_id"]) for r in fz)
+            mapping = F.broadcast(
+                spark.createDataFrame(rows, "surface string, record_id string")
+            )
+        else:
+            # unmatched set too large to collect: fuzzy-link it distributed
+            # (banded MinHash-LSH, no all-pairs) and union with the exact
+            # dictionary, which is KB-sized and already local either way.
+            fz = link_fuzzy(
+                unmatched_df, self.surfaces, jaccard_threshold=self.fuzzy_threshold
+            ).select("surface", "record_id")
+            mapping = self._stage(dict_df.unionByName(fz))
         m = mentions.join(
             mapping.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
                 "record_id", "subj_surface_record"

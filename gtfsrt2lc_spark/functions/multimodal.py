@@ -457,6 +457,20 @@ def decode_pixels(data: bytes, fmt: str):
     return dec(data)
 
 
+def _decode_jpeg_pillow(data: bytes):
+    """JPEG pixel decode through the OPTIONAL Pillow dependency (DCT +
+    huffman is out of dependency-free scope). Registered in PIXEL_DECODERS
+    only when Pillow imports; containers without it keep the typed
+    decodable=false path for JPEG while BMP/PNG/GIF stay dependency-free."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
 # hook points:
 #   MEDIA_DECODERS: format -> callable(bytes) -> (width, height)   (metadata)
 #   PIXEL_DECODERS: format -> callable(bytes) -> ndarray (h, w, 3) (pixels)
@@ -466,6 +480,13 @@ PIXEL_DECODERS: dict[str, Callable[[bytes], object]] = {
     "png": decode_png,
     "gif": decode_gif,
 }
+
+try:  # optional: JPEG activates when Pillow is installed, else stays stubbed
+    import PIL  # noqa: F401
+
+    PIXEL_DECODERS["jpeg"] = _decode_jpeg_pillow
+except ImportError:
+    pass
 
 
 def extract_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:

@@ -654,6 +654,15 @@ class HistoryStore:
             out = out.unionByName(p)
         return out
 
+    def state(self) -> DataFrame:
+        """Current committed state: one row per (rule_key, service_day) with
+        (departure_delay, arrival_delay, type) — the baseline a differential
+        pass compares against (public accessor for the streaming one-pass
+        micro-batch, streaming/gtfs.py)."""
+        return self._read().select(
+            "rule_key", "service_day", "departure_delay", "arrival_delay", "type"
+        )
+
     def filter_new(self, conns: DataFrame) -> DataFrame:
         """Keep connections that are new or changed vs the store."""
         keyed = self.rule_key(conns)

@@ -13,10 +13,10 @@ and lands each epoch in its own overwrite-mode ``epoch=N`` directory
 
 from __future__ import annotations
 
-import os
 import re
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gtfsrt2lc_spark.functions import hadoop_fs
@@ -69,17 +69,25 @@ def stream_feeds_to_connections(
     )
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        # polls are SEQUENTIAL in the reference loop: when several feed
-        # files land in one micro-batch, process them oldest-first so a
-        # connection that changed between polls emits each state change in
-        # order (one combined pass would emit contradictory rows and commit
-        # an arbitrary one)
+        # Polls are SEQUENTIAL in the reference loop, but the whole batch is
+        # processed in ONE pass: every file's connection plan is tagged with
+        # its poll order and unioned, and the per-poll differential is a
+        # lag() window over the per-(key, file) state chain, seeded with the
+        # history store's baseline. This preserves state-change ordering
+        # exactly (a connection that changed between polls emits each change
+        # in order) while replacing the old per-file loop's F× jobs — F
+        # decode/convert jobs, F store scans, F store commits, F output
+        # writes — with one decode/convert pass, one store scan, one
+        # dynamic-partition write and one store commit per micro-batch.
         files = sorted(
             (
                 (r["modificationTime"], r["path"])
                 for r in batch_df.select("path", "modificationTime").distinct().collect()
             )
         )
+        if not files:
+            return
+        per_file = []
         for i, (_mt, path) in enumerate(files):
             # read THIS file directly rather than re-filtering batch_df:
             # the where(path==...) form re-scans the whole batch source per
@@ -103,26 +111,92 @@ def stream_feeds_to_connections(
                 src = batch_df.where(F.col("path") == path).select(
                     F.col("content").alias("payload")
                 )
-            updates = decode_feed_df(src)
-            conns = pipeline.connections(updates)
-            fresh = history_store.filter_new(conns).persist()
-            n_fresh = fresh.count()
-            target = os.path.join(out_dir, f"epoch={epoch_id}-{i}")
-            # replay safety: write BEFORE commit; on a replayed epoch whose
-            # states were already committed (crash between commit and the
-            # streaming checkpoint), filter_new yields 0 — skipping the
-            # overwrite preserves the previously written output instead of
-            # erasing it with an empty frame. The existence check goes
-            # through the Hadoop FileSystem API so it also holds when
-            # out_dir is HDFS/S3, not just a driver-local path.
-            already_written = hadoop_fs.exists(
-                spark, os.path.join(target, "_SUCCESS")
+            per_file.append(
+                pipeline.connections(decode_feed_df(src)).withColumn(
+                    "_file_idx", F.lit(i)
+                )
             )
-            if n_fresh > 0 or not already_written:
-                fresh.select(*_OUT_COLS).write.mode("overwrite").parquet(target)
-            if n_fresh > 0:  # also: no whole-store rewrite for no-op polls
-                history_store.commit(fresh)
-            fresh.unpersist()
+        all_conns = reduce(lambda a, b: a.unionByName(b), per_file)
+        keyed = history_store.rule_key(all_conns).persist()
+
+        # Per-(key, service_day, poll) state. Duplicate rows of one key
+        # within one poll normally agree; if a malformed feed contradicts
+        # itself, max(struct) is the deterministic winner (the old
+        # sequential loop committed an arbitrary duplicate).
+        state = F.struct("departure_delay", "arrival_delay", "type")
+        per_state = keyed.groupBy("rule_key", "service_day", "_file_idx").agg(
+            F.max(state).alias("_state")
+        )
+        hist = history_store.state().select(
+            "rule_key",
+            "service_day",
+            F.struct("departure_delay", "arrival_delay", "type").alias("_hist"),
+        )
+        w = Window.partitionBy("rule_key", "service_day").orderBy("_file_idx")
+        chain = (
+            per_state.withColumn("_prev", F.lag("_state").over(w))
+            .join(hist, ["rule_key", "service_day"], "left")
+            .withColumn("_base", F.coalesce("_prev", "_hist"))
+        )
+
+        # Row-level differential vs each poll's baseline — the exact
+        # predicate HistoryStore.filter_new applies against the store
+        # (null-type baseline == no prior state -> fresh).
+        rows = keyed.join(
+            chain.select("rule_key", "service_day", "_file_idx", "_base"),
+            ["rule_key", "service_day", "_file_idx"],
+        )
+        fresh = rows.where(
+            F.col("_base.type").isNull()
+            | (F.col("_base.departure_delay") != F.col("departure_delay"))
+            | (F.col("_base.arrival_delay") != F.col("arrival_delay"))
+            | (F.col("_base.type") != F.col("type"))
+        ).persist()
+        n_fresh = fresh.count()
+
+        # replay safety: write BEFORE commit; on a replayed epoch whose
+        # states were already committed (crash between commit and the
+        # streaming checkpoint), the differential yields 0 — skipping the
+        # write preserves the previously written output. When fresh rows
+        # exist, the DYNAMIC partition overwrite touches only the epoch
+        # partitions it produces, so prior epochs survive replays.
+        if n_fresh > 0:
+            (
+                fresh.withColumn(
+                    "epoch", F.concat(F.lit(f"{epoch_id}-"), F.col("_file_idx"))
+                )
+                .select(*_OUT_COLS, "epoch")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(out_dir)
+            )
+            # ONE commit per micro-batch: each changed key's final state is
+            # the last poll's state (polls after the last fresh one were by
+            # definition unchanged), so committing the chain tail for keys
+            # with any fresh emission lands the same store contents as the
+            # old per-poll commits — in one generation instead of F.
+            wl = Window.partitionBy("rule_key", "service_day").orderBy(
+                F.col("_file_idx").desc()
+            )
+            last = (
+                chain.withColumn("_rn", F.row_number().over(wl))
+                .where(F.col("_rn") == 1)
+                .join(
+                    fresh.select("rule_key", "service_day").distinct(),
+                    ["rule_key", "service_day"],
+                )
+                .select(
+                    "rule_key",
+                    "service_day",
+                    F.col("_state.departure_delay").alias("departure_delay"),
+                    F.col("_state.arrival_delay").alias("arrival_delay"),
+                    F.col("_state.type").alias("type"),
+                )
+            )
+            history_store.commit(last)
+        fresh.unpersist()
+        keyed.unpersist()
 
     writer = feeds.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -82,10 +82,42 @@ def test_frame_sample_expansion(media_df):
 
 
 def test_pixel_decode_jpeg_needs_library():
-    # jpeg stays behind the PIXEL_DECODERS hook (no imaging lib in
-    # container); bmp and png decode for real
+    # without Pillow, jpeg stays behind the PIXEL_DECODERS hook (bmp, png
+    # and gif decode for real); with Pillow installed the optional decoder
+    # registers instead — asserted by test_jpeg_pixel_decode_with_pillow
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed: jpeg decoder is registered")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         decode_pixels(b"\xff\xd8\xff", "jpeg")
+
+
+def test_jpeg_pixel_decode_with_pillow(spark):
+    """When the optional Pillow dependency exists, media_features decodes a
+    real JPEG end-to-end through the same Arrow plumbing as BMP/PNG/GIF.
+    Skipped in containers without Pillow (the dependency-free contract)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from gtfsrt2lc_spark.functions.multimodal import media_features
+
+    img = PIL_Image.fromarray(
+        np.full((8, 8, 3), (200, 30, 90), dtype=np.uint8), "RGB"
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+    data = buf.getvalue()
+    assert decode_pixels(data, "jpeg").shape == (8, 8, 3)
+
+    df = spark.createDataFrame([(1, bytearray(data))], "id int, media binary")
+    row = media_features(df, size=2).collect()[0]
+    assert row["decodable"] and (row["width"], row["height"]) == (8, 8)
+    assert len(row["feature"]) == 4
 
 
 def _bmp(pixels):

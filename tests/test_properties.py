@@ -131,6 +131,91 @@ def test_nquads_literal_roundtrip(spark, strings, tmp_path_factory):
     assert got == set(strings)
 
 
+# hostile alphabet: heavy weighting on the escape chain's trigger characters
+# (quotes, backslashes, control chars) mixed with arbitrary non-surrogate
+# unicode — the fixed escape-trigger corpus in the serializer tests can miss
+# interactions like a backslash immediately before a quote
+_hostile = st.text(
+    alphabet=st.one_of(
+        st.sampled_from(list('"\\\n\r\t\x00\x01\x1b\x7f  ')),
+        st.characters(blacklist_categories=("Cs",)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _unescape_mirror(s: str) -> str:
+    """Python mirror of the N-Quads/Turtle literal escape inverse."""
+    import re as _re
+
+    return _re.sub(
+        r"\\(.)",
+        lambda m: {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t"}[m.group(1)],
+        s,
+        flags=_re.DOTALL,
+    )
+
+
+@pytest.mark.usefixtures("spark")
+@given(strings=st.lists(_hostile, min_size=1, max_size=40, unique=True))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_turtle_literal_escape_hostile(spark, strings):
+    """Turtle object literals under hostile strings: every statement is
+    exactly one physical line (newlines/CRs escaped), the quoted literal
+    matches the N-Quads grammar, and unescaping returns the original."""
+    import re as _re
+
+    from gtfsrt2lc_spark.sources.nquads import to_turtle_lines
+
+    strings = [s for s in strings
+               if not s.startswith(("http://", "https://", "_:"))]
+    if not strings:
+        return
+    rows = [(f"http://ex.org/s/{i}", "http://ex.org/p", s)
+            for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    lines = [r["line"] for r in to_turtle_lines(df).collect()]
+    assert len(lines) == len(strings)
+    lit_re = _re.compile(r'"((?:[^"\\\n\r]|\\.)*)" \.$', _re.DOTALL)
+    got = set()
+    for ln in lines:
+        assert "\n" not in ln and "\r" not in ln, repr(ln)
+        m = lit_re.search(ln)
+        assert m is not None, repr(ln)
+        got.add(_unescape_mirror(m.group(1)))
+    assert got == set(strings)
+
+
+@pytest.mark.usefixtures("spark")
+@given(strings=st.lists(_hostile, min_size=1, max_size=30, unique=True))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_jsonld_node_roundtrip_hostile(spark, strings):
+    """JSON-LD node lines under hostile subjects/objects: every node is one
+    physical line of valid JSON and json.loads recovers the exact (subj ->
+    sorted objs) mapping."""
+    import json as _json
+
+    from gtfsrt2lc_spark.sources.jsonld import to_jsonld_lines
+
+    rows = [(f"http://ex.org/s/{i}", "http://ex.org/p", s, "http://ex.org/g")
+            for i, s in enumerate(strings)]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    lines = [r["line"] for r in to_jsonld_lines(df).collect()]
+    assert len(lines) == len(strings)
+    got = {}
+    for ln in lines:
+        assert "\n" not in ln and "\r" not in ln, repr(ln)
+        node = _json.loads(ln)
+        got[node["@id"]] = node["props"]["http://ex.org/p"]
+    expect = {f"http://ex.org/s/{i}": [s] for i, s in enumerate(strings)}
+    assert got == expect
+
+
 # -- reference formulation of the extraction spec (module docstring), frozen
 #    here so the optimized body is provably byte-identical ------------------
 def _extract_reference(html: bytes | None) -> str | None:

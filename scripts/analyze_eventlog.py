@@ -1,0 +1,179 @@
+"""Run the scaling workload once with spark.eventLog enabled, then decompose
+wall-clock from the event log: per-stage wall, task-time sum, parallelism
+achieved (task-sec / stage-wall / cores), shuffle and I/O volume, and the
+DRIVER GAPS between stages (time no stage was running = serial driver work).
+
+This pins down the non-scaling component of the N->4N protocol with Spark's
+own metrics instead of end-to-end guessing.
+
+Usage:
+    python scripts/analyze_eventlog.py --corpus /tmp/kgcorpus_ccweight_2m --cores 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_with_eventlog(cores: int, corpus: str) -> str:
+    sys.path.insert(0, REPO)
+    from scripts.bench_scaling import _package_zip, _spark_submit
+
+    evdir = tempfile.mkdtemp(prefix="spark_events_")
+    out = tempfile.mkdtemp(prefix=f"kg_ev_{cores}_")
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        _spark_submit(),
+        "--master", f"local[{cores}]",
+        "--py-files", _package_zip(),
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", f"spark.sql.shuffle.partitions={cores * 2}",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=1000",
+        "--conf", "spark.driver.memory=24g",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.eventLog.enabled=true",
+        "--conf", f"spark.eventLog.dir=file://{evdir}",
+        os.path.join(REPO, "scripts", "submit_pipeline.py"),
+        "--corpus", corpus,
+        "--out", os.path.join(out, "kg"),
+        "--warmup",
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, check=False)
+    for line in reversed(res.stdout.splitlines()):
+        if line.startswith("{"):
+            print("RUN:", line)
+            break
+    logs = glob.glob(os.path.join(evdir, "*"))
+    if not logs:
+        sys.stderr.write(res.stderr[-3000:])
+        raise RuntimeError("no event log produced")
+    return max(logs, key=os.path.getmtime)
+
+
+def analyze(path: str, cores: int) -> None:
+    if os.path.isdir(path):  # eventlog v2 rolling dir
+        parts = sorted(glob.glob(os.path.join(path, "events_*")))
+        if not parts:
+            raise RuntimeError(f"no events_* file in {path}")
+    else:
+        parts = [path]
+
+    def lines():
+        for p in parts:
+            if p.endswith(".zstd"):
+                # zstd-compressed rolling log: decode via Spark's bundled lib
+                # is unavailable here; use the system zstd binary
+                import io
+
+                raw = subprocess.run(["zstd", "-dc", p], capture_output=True,
+                                     check=True).stdout
+                yield from io.TextIOWrapper(io.BytesIO(raw), encoding="utf-8")
+            else:
+                with open(p) as f:
+                    yield from f
+
+    stages = {}  # (stageId, attempt) -> dict
+    jobs = []
+    app_start = app_end = None
+    if True:
+        for line in lines():
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            e = ev.get("Event")
+            if e == "SparkListenerApplicationStart":
+                app_start = ev["Timestamp"]
+            elif e == "SparkListenerApplicationEnd":
+                app_end = ev["Timestamp"]
+            elif e == "SparkListenerJobStart":
+                jobs.append({"id": ev["Job ID"], "t0": ev["Submission Time"],
+                             "stages": [s["Stage ID"] for s in ev["Stage Infos"]]})
+            elif e == "SparkListenerJobEnd":
+                for j in jobs:
+                    if j["id"] == ev["Job ID"]:
+                        j["t1"] = ev["Completion Time"]
+            elif e == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                key = (si["Stage ID"], si["Stage Attempt ID"])
+                st = stages.setdefault(key, {
+                    "task_ms": 0, "gc_ms": 0, "cpu_ns": 0,
+                    "shuffle_write": 0, "shuffle_read": 0,
+                    "input": 0, "output": 0, "python_ms": 0})
+                st["name"] = si["Stage Name"].split("\n")[0][:70]
+                st["tasks"] = si["Number of Tasks"]
+                st["t0"] = si.get("Submission Time")
+                st["t1"] = si.get("Completion Time")
+            elif e == "SparkListenerTaskEnd":
+                key = (ev["Stage ID"], ev["Stage Attempt ID"])
+                st = stages.setdefault(key, {
+                    "name": "?", "tasks": 0, "t0": None, "t1": None,
+                    "task_ms": 0, "gc_ms": 0, "cpu_ns": 0,
+                    "shuffle_write": 0, "shuffle_read": 0,
+                    "input": 0, "output": 0, "python_ms": 0})
+                m = ev.get("Task Metrics") or {}
+                st["task_ms"] += m.get("Executor Run Time", 0)
+                st["gc_ms"] += m.get("JVM GC Time", 0)
+                st["cpu_ns"] += m.get("Executor CPU Time", 0)
+                st["shuffle_write"] += (m.get("Shuffle Write Metrics") or {}).get(
+                    "Shuffle Bytes Written", 0)
+                sr = m.get("Shuffle Read Metrics") or {}
+                st["shuffle_read"] += sr.get("Local Bytes Read", 0) + sr.get(
+                    "Remote Bytes Read", 0)
+                st["input"] += (m.get("Input Metrics") or {}).get("Bytes Read", 0)
+                st["output"] += (m.get("Output Metrics") or {}).get("Bytes Written", 0)
+
+    done = [s for s in stages.values() if s.get("t0") and s.get("t1")]
+    done.sort(key=lambda s: s["t0"])
+    total = (app_end - app_start) / 1000 if app_end else None
+    print(f"\napp wall: {total:.1f}s  cores={cores}")
+    print(f"{'stage':<70} {'wall_s':>7} {'tasks':>5} {'par':>5} "
+          f"{'cpu_s':>7} {'gc_s':>5} {'in_MB':>7} {'sw_MB':>7} {'sr_MB':>7} {'out_MB':>7}")
+    for s in done:
+        wall = (s["t1"] - s["t0"]) / 1000
+        if wall < 0.3:
+            continue
+        par = (s["task_ms"] / 1000) / wall / cores if wall else 0
+        print(f"{s['name']:<70} {wall:>7.1f} {s['tasks']:>5} {par:>5.2f} "
+              f"{s['cpu_ns'] / 1e9:>7.1f} {s['gc_ms'] / 1000:>5.1f} "
+              f"{s['input'] / 1e6:>7.0f} {s['shuffle_write'] / 1e6:>7.0f} "
+              f"{s['shuffle_read'] / 1e6:>7.0f} {s['output'] / 1e6:>7.0f}")
+
+    # driver gaps: time between consecutive stage intervals with nothing running
+    iv = sorted([(s["t0"], s["t1"]) for s in done])
+    merged = []
+    for a, b in iv:
+        if merged and a <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    gap = sum((merged[i + 1][0] - merged[i][1]) for i in range(len(merged) - 1)) / 1000
+    covered = sum(b - a for a, b in merged) / 1000
+    print(f"\nstage-covered wall: {covered:.1f}s   inter-stage driver gaps: {gap:.1f}s")
+    busy = sum(s["task_ms"] for s in done) / 1000
+    print(f"total task-sec: {busy:.1f}  ideal wall at {cores} cores: {busy / cores:.1f}s")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--log", default=None, help="analyze an existing event log")
+    args = ap.parse_args()
+    path = args.log or run_with_eventlog(args.cores, args.corpus)
+    print("event log:", path)
+    analyze(path, args.cores)
+
+
+if __name__ == "__main__":
+    main()

@@ -226,16 +226,36 @@ class KGPipeline:
         runs zero probe jobs (stage write + final join only), and fuzzy=True
         runs one probe whose collect volume is bounded by the unmatched set,
         not the full surface vocabulary — the previous shape collected every
-        distinct surface to the driver and re-uploaded the matched subset."""
+        distinct surface to the driver and re-uploaded the matched subset.
+        Further: the probe job is ELIDED entirely when the stage write
+        proves it would be empty — the dictionary is driver-local, so an
+        ``observe`` on the stage write counts surfaces outside it (JVM
+        ``isin`` against the KB vocabulary, zero extra jobs), and the probe
+        only runs when that count is non-zero (dirty corpora)."""
         spark = mentions.sparkSession
-        mentions = self._stage(mentions)
         dic_local = self._resolved_dictionary()
+        obs = None
+        if self.fuzzy:
+            from pyspark.sql import Observation
+
+            keys = list(dic_local)
+            obs = Observation()
+            miss = (
+                (~F.col("subj_surface").isin(keys)).cast("long")
+                + (~F.col("obj_surface").isin(keys)).cast("long")
+            )
+            mentions = mentions.observe(
+                obs, F.sum(F.coalesce(miss, F.lit(1))).alias("miss")
+            )
+        mentions = self._stage(mentions)
         dict_df = spark.createDataFrame(
             list(dic_local.items()), "surface string, record_id string"
         )
         local: list[str] | None = None
         if not self.fuzzy:
             local = []  # exact-only: the dictionary IS the mapping, no probe
+        elif not (obs.get["miss"] or 0):
+            local = []  # stage write proved every surface is in the dictionary
         else:
             unmatched_df = (
                 mentions.select(

@@ -71,6 +71,35 @@ def test_latest_by_key(spark):
     assert got == {"u": "new", "v": "only"}
 
 
+def test_latest_by_key_unique_order_variants_agree(spark):
+    """The three physical strategies (window, broadcast dup-stats join,
+    shuffled dup-stats join via broadcast_dups=False) must keep the same
+    rows, including the fast path's NULL-order contract edge (a NULL order
+    loses to any sibling; an all-NULL key loses every row)."""
+    df = spark.createDataFrame(
+        [("u", 1, "old"), ("u", 3, "new"), ("v", 2, "only"),
+         ("w", None, "null-single"), ("x", None, "null-dup-a"),
+         ("x", None, "null-dup-b"), ("y", 5, "win"), ("y", None, "lose")],
+        "k string, ts int, v string",
+    )
+    expect = {("u", "new"), ("v", "only"), ("y", "win")}
+    for bd in (True, False):
+        got = {
+            (r["k"], r["v"])
+            for r in latest_by_key(
+                df, "k", "ts", unique_order=True, broadcast_dups=bd
+            ).collect()
+        }
+        assert got == expect, f"broadcast_dups={bd}: {got}"
+    # reserved internal column must be rejected, not silently overwritten
+    bad = df.withColumnRenamed("v", "_lbk_max")
+    try:
+        latest_by_key(bad, "k", "ts", unique_order=True)
+        raise AssertionError("reserved-column guard missing")
+    except ValueError:
+        pass
+
+
 def test_minhash_neardup(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]

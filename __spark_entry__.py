@@ -1226,11 +1226,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract: the driver's correctness gate has checked exactly the
-    # FIRST 50 entries for two rounds running, so the highest-risk operators —
-    # serializer byte-parity oracles, the W1-W10 alignment composite, and the
-    # composed corpus pipelines — are ordered inside that window; the 9
-    # low-risk pure-SQL shapes (pivot/cube/rollup/...) sit at the tail.
+    # Ordering contract: the driver's correctness gate checks exactly the
+    # FIRST 50 entries, so the highest-risk operators — serializer
+    # byte-parity oracles, the W1-W10 alignment composite, and the composed
+    # corpus pipelines — stay inside that window permanently. The 9 low-risk
+    # pure-SQL tail slots ROTATE: each round 2-3 tail entries that have never
+    # had a driver row swap with long-stable window entries, so every query
+    # eventually earns a driver-green row (r5 rotation: map_agg, global_topn,
+    # stratified_sample in; sessionize, topk_per_group, time_buckets — all
+    # driver-green r1-r4 — out to the tail).
     return {
         # relational core
         "pricing_summary": q_pricing_summary,
@@ -1243,8 +1247,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_write_wins": q_last_write_wins,
         "pairwise_lead": q_pairwise_lead,
         "locf": q_locf,
-        "sessionize": q_sessionize,
-        "topk_per_group": q_topk_per_group,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "salted_agg": q_salted_agg,
@@ -1255,7 +1257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duration_parse": q_duration_parse,
         "uri_mint": q_uri_mint,
         "explode_quads": q_explode_quads,
-        "time_buckets": q_time_buckets,
+        # rotated INTO the window this round (first-ever driver rows)
+        "map_agg": q_map_agg,
+        "global_topn": q_global_topn,
+        "stratified_sample": q_stratified_sample,
         # semantic-core composite + serializer byte-parity oracles
         "alignment_pass": q_alignment_pass,
         "nquads_lines": q_nquads_lines,
@@ -1285,11 +1290,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "sequence_packing": q_sequence_packing,
         "corpus_clean": q_corpus_clean,
-        # low-risk pure-SQL shapes (stable since round 1; outside the
-        # driver's 50-row check window by design)
-        "map_agg": q_map_agg,
-        "global_topn": q_global_topn,
-        "stratified_sample": q_stratified_sample,
+        # tail (outside the 50-row window this round): rotated-out entries
+        # with 4 consecutive driver-green rounds behind them, plus the
+        # remaining pure-SQL shapes awaiting their rotation turn
+        "sessionize": q_sessionize,
+        "topk_per_group": q_topk_per_group,
+        "time_buckets": q_time_buckets,
         "value_percentiles": q_value_percentiles,
         "json_extract": q_json_extract,
         "set_except": q_set_except,

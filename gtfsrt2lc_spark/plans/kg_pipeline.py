@@ -54,6 +54,8 @@ class KGPipeline:
         fuzzy: bool = True,
         fuzzy_threshold: float = 0.5,
         max_local_surfaces: int | None = 1_000_000,
+        max_local_dictionary: int | None = 2_000_000,
+        broadcast_dups: bool = True,
         scratch_dir: str | None = None,
     ) -> None:
         self.records = records
@@ -62,6 +64,11 @@ class KGPipeline:
         self.predicates = predicates
         self.fuzzy = fuzzy
         self.fuzzy_threshold = fuzzy_threshold
+        # latest-wins dedup escape hatch: a corpus whose RE-CRAWLED key set
+        # is itself too large to broadcast (billions of dup urls) sets this
+        # False and takes one payload shuffle instead of a possible
+        # broadcast OOM (operators/dedup.py latest_by_key contract).
+        self.broadcast_dups = broadcast_dups
         # Stage checkpoints MUST live on a filesystem every executor can
         # reach (HDFS/S3A/shared NFS): a driver-local tmp dir silently loses
         # the partitions other executors wrote on a multi-node cluster.
@@ -75,8 +82,19 @@ class KGPipeline:
         # the distinct capitalized-span set grows with the corpus and must
         # never be collected. None = always local (tests/micro-batches).
         self.max_local_surfaces = max_local_surfaces
+        # The KB dictionary itself (surface -> record) is collected to the
+        # driver and broadcast while it stays under THIS cap — the
+        # reference's in-heap Map posture (lib/GtfsIndex.js:99-105) holds at
+        # reference parity, but a KB 100x larger (tens of millions of
+        # surfaces) must never be collected: beyond the cap linked() routes
+        # to a fully distributed dictionary join and canonical_map() stays
+        # a distributed (staged) relation instead of a broadcast
+        # LocalRelation. None = always local.
+        self.max_local_dictionary = max_local_dictionary
         self._canonical_map: DataFrame | None = None
+        self._canonical_local = True
         self._dict_local: dict[str, str] | None = None
+        self._dict_over_cap = False
         self._scratch: list[tuple[str, bool]] = []  # (path, via_hadoop_fs)
         self._stage_seq = 0
         self._spark = None
@@ -95,7 +113,13 @@ class KGPipeline:
         all-keys winner semi-join silently degraded to the same payload
         shuffle once the winner set outgrew the broadcast threshold;
         measured as the pipeline's largest non-scaling I/O)."""
-        latest = latest_by_key(pages, "url", "warc_ts", unique_order=True)
+        latest = latest_by_key(
+            pages,
+            "url",
+            "warc_ts",
+            unique_order=True,
+            broadcast_dups=self.broadcast_dups,
+        )
         return latest.withColumn("extracted_text", extract_text_udf(F.col("html")))
 
     # ---- stage 3 ---------------------------------------------------------
@@ -133,178 +157,220 @@ class KGPipeline:
         return svo
 
     # ---- stage 4 ---------------------------------------------------------
-    def _resolved_dictionary(self) -> dict[str, str]:
-        """surface -> best record_id, collected once (KB-sized by definition
-        — the reference holds exactly this as an in-heap Map,
-        lib/GtfsIndex.js:99-105)."""
+    def _resolved_dictionary(self) -> dict[str, str] | None:
+        """surface -> best record_id, collected once while it fits
+        ``max_local_dictionary`` (KB-sized at reference parity — the
+        reference holds exactly this as an in-heap Map,
+        lib/GtfsIndex.js:99-105). Returns None when the dictionary exceeds
+        the cap: callers must stay distributed (a 100x KB would blow the
+        driver heap and any broadcast/plan literal built from it). The
+        over-cap probe is one job (limit cap+1), cached either way."""
+        if self._dict_over_cap:
+            return None
         if self._dict_local is None:
             from gtfsrt2lc_spark.operators.linking import resolve_dictionary
 
-            self._dict_local = {
-                r["surface"]: r["record_id"]
-                for r in resolve_dictionary(self.surfaces).collect()
-            }
+            rd = resolve_dictionary(self.surfaces).select("surface", "record_id")
+            if self.max_local_dictionary is None:
+                rows = rd.collect()
+            else:
+                # one job either way: the head IS the dictionary when it
+                # fits, and the size probe when it doesn't
+                rows = rd.limit(self.max_local_dictionary + 1).collect()
+                if len(rows) > self.max_local_dictionary:
+                    self._dict_over_cap = True
+                    return None
+            self._dict_local = {r["surface"]: r["record_id"] for r in rows}
         return self._dict_local
-
-    def surface_mapping_rows(
-        self, mentions: DataFrame, surfs: list[str] | None = None
-    ) -> list[tuple[str, str]]:
-        """Resolve surface -> record_id ONCE over the distinct surfaces.
-
-        The mention stream is huge; the distinct surface set is usually small
-        (KB + noise), so it is collected and matched against the driver-side
-        dictionary. The fuzzy MinHash-LSH pass runs only when unmatched
-        surfaces exist, over LocalRelations — the same shape as the
-        reference's grep pruning by updated-trip list
-        (lib/GtfsIndex.js:107-118): heavy work only for keys that need it.
-        Short-circuiting the all-exact case removes 2-3 Spark jobs from the
-        pipeline's serial floor. ``linked()`` guards this path with
-        ``max_local_surfaces`` and switches to a distributed mapping when
-        the distinct set is too large to collect."""
-        if surfs is None:
-            surfs = [
-                r["surface"]
-                for r in mentions.select(
-                    F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
-                )
-                .distinct()
-                .collect()
-            ]
-        dic = self._resolved_dictionary()
-        mapped = [(s, dic[s]) for s in surfs if s in dic]
-        unmatched = [s for s in surfs if s not in dic]
-        if self.fuzzy and unmatched:
-            spark = mentions.sparkSession
-            q = spark.createDataFrame([(s,) for s in unmatched], "surface string")
-            fz = link_fuzzy(
-                q, self.surfaces, jaccard_threshold=self.fuzzy_threshold
-            ).collect()
-            mapped.extend((r["surface"], r["record_id"]) for r in fz)
-        return mapped
-
-    def surface_mapping(self, mentions: DataFrame) -> DataFrame:
-        """DataFrame view of surface_mapping_rows (kept for API symmetry)."""
-        return mentions.sparkSession.createDataFrame(
-            self.surface_mapping_rows(mentions), "surface string, record_id string"
-        )
 
     def linked(self, mentions: DataFrame) -> DataFrame:
         """Mentions with subject/object KB record ids; unlinkable rows drop
         (inner semantics, like the reference's silent skip on missing
         static data, lib/Gtfsrt2LC.js:98-111).
 
-        The surface mapping is small by construction (distinct surfaces, not
-        mentions), so it is COLLECTED to the driver and re-broadcast as a
-        LocalRelation — the reference's in-heap MemStore posture
-        (lib/GtfsIndex.js:99-105). This deliberately trades one extra pass
-        over the mention stream for zero broadcast-subplan recomputation:
-        measured at local[32], a lazily-persisted mentions cache racing the
-        broadcast-exchange threads cost 4x wall clock (block-lock + unroll
-        contention), while the two-pass local-mapping plan scales cleanly.
-        The mention stream itself is STAGED TO PARQUET once and re-read by
-        every consumer (mapping derivation consumes it up to three times:
-        distinct surfaces, exact pass, fuzzy-unmatched branch). A parquet
-        stage checkpoint is the contention-free materialization: in-memory
-        persist suffers block-lock/unroll contention when broadcast-exchange
-        threads race the main job (measured 4-25x CPU inflation at
-        local[32]), while file scans are lock-free and exactly what a
-        multi-executor cluster would do. See BENCH/BASELINE.md.
+        Fast path (dictionary under ``max_local_dictionary``): the resolved
+        dictionary is collected once and broadcast as a LocalRelation — the
+        reference's in-heap MemStore posture (lib/GtfsIndex.js:99-105) —
+        and the exact mapping is FUSED into the stage write: mentions
+        left-join the broadcast dictionary for both slots, the resolved ids
+        land in the staged parquet, and downstream consumers re-read the
+        stage with zero further mapping joins. A parquet stage checkpoint
+        is the contention-free materialization: in-memory persist suffers
+        block-lock/unroll contention when broadcast-exchange threads race
+        the main job (measured 4-25x CPU inflation at local[32]), while
+        file scans are lock-free and exactly what a multi-executor cluster
+        would do. See BENCH/BASELINE.md.
 
-        When the distinct *unmatched* surface set exceeds
-        ``max_local_surfaces`` the driver-side path is unsafe (web-scale
-        corpora mint unbounded capitalized spans), so the mapping is built
-        fully distributed: broadcast-dictionary exact join + MinHash-LSH
-        fuzzy pass over the unmatched remainder, staged once and
-        shuffle-joined to mentions.
+        Probe elision: an ``observe`` on the same stage write sums the
+        NULL record slots (a broadcast-join flag, not an ``isin`` literal —
+        an in-plan literal of the whole vocabulary stops compiling long
+        before the dictionary cap), so the fuzzy probe job runs ONLY when
+        the write proves unmatched surfaces exist (dirty corpora).
+        fuzzy=False runs zero probe jobs. When unmatched surfaces exist,
+        the probe collects just the distinct unmatched set (bounded by
+        ``max_local_surfaces``; beyond it the fuzzy pass runs fully
+        distributed — web-scale corpora mint unbounded capitalized spans),
+        and the fuzzy mapping patches the NULL slots via coalesce.
 
-        Serial-path job accounting (the scaling rule's fixed floor): the
-        exact dictionary is already driver-local (KB-sized), so the mapping
-        join needs NO distinct-surface probe job at all — exact matches ride
-        the broadcast of the full dictionary, and the probe that remains
-        collects only the distinct surfaces the dictionary does NOT cover
-        (anti-join, usually empty or noise-sized). fuzzy=False therefore
-        runs zero probe jobs (stage write + final join only), and fuzzy=True
-        runs one probe whose collect volume is bounded by the unmatched set,
-        not the full surface vocabulary — the previous shape collected every
-        distinct surface to the driver and re-uploaded the matched subset.
-        Further: the probe job is ELIDED entirely when the stage write
-        proves it would be empty — the dictionary is driver-local, so an
-        ``observe`` on the stage write counts surfaces outside it (JVM
-        ``isin`` against the KB vocabulary, zero extra jobs), and the probe
-        only runs when that count is non-zero (dirty corpora)."""
+        Dictionary over the cap: the driver never sees it —
+        ``_linked_distributed`` joins mentions to the distributed
+        dictionary relation instead (the 100x-KB path)."""
         spark = mentions.sparkSession
         dic_local = self._resolved_dictionary()
+        if dic_local is None:
+            return self._linked_distributed(mentions)
+        bdict = F.broadcast(
+            spark.createDataFrame(
+                list(dic_local.items()), "surface string, record_id string"
+            )
+        )
+        m = mentions.join(
+            bdict.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
+                "record_id", "subj_surface_record"
+            ),
+            "subj_surface",
+            "left",
+        ).join(
+            bdict.withColumnRenamed("surface", "obj_surface").withColumnRenamed(
+                "record_id", "obj_surface_record"
+            ),
+            "obj_surface",
+            "left",
+        )
         obs = None
         if self.fuzzy:
             from pyspark.sql import Observation
 
-            keys = list(dic_local)
             obs = Observation()
-            miss = (
-                (~F.col("subj_surface").isin(keys)).cast("long")
-                + (~F.col("obj_surface").isin(keys)).cast("long")
+            miss = F.col("subj_surface_record").isNull().cast("long") + F.col(
+                "obj_surface_record"
+            ).isNull().cast("long")
+            m = m.observe(obs, F.sum(miss).alias("miss"))
+        staged = self._stage(m)
+        fully_linked = staged.where(
+            F.col("subj_surface_record").isNotNull()
+            & F.col("obj_surface_record").isNotNull()
+        )
+        if not self.fuzzy or not (obs.get["miss"] or 0):
+            return fully_linked
+        # dirty corpus: fuzzy-link the unmatched surfaces and patch the
+        # NULL slots. The unmatched set is re-derived from the staged
+        # parquet (cheap pruned scan), never from the live plan.
+        unmatched_df = (
+            staged.where(F.col("subj_surface_record").isNull())
+            .select(F.col("subj_surface").alias("surface"))
+            .unionByName(
+                staged.where(F.col("obj_surface_record").isNull()).select(
+                    F.col("obj_surface").alias("surface")
+                )
             )
-            mentions = mentions.observe(
-                obs, F.sum(F.coalesce(miss, F.lit(1))).alias("miss")
-            )
-        mentions = self._stage(mentions)
-        dict_df = spark.createDataFrame(
-            list(dic_local.items()), "surface string, record_id string"
+            .distinct()
         )
         local: list[str] | None = None
-        if not self.fuzzy:
-            local = []  # exact-only: the dictionary IS the mapping, no probe
-        elif not (obs.get["miss"] or 0):
-            local = []  # stage write proved every surface is in the dictionary
+        if self.max_local_surfaces is None:
+            local = [r["surface"] for r in unmatched_df.collect()]
         else:
+            # one job either way: the head IS the unmatched list when it
+            # fits, and the size probe when it doesn't
+            head = unmatched_df.limit(self.max_local_surfaces + 1).collect()
+            if len(head) <= self.max_local_surfaces:
+                local = [r["surface"] for r in head]
+        if local is not None:
+            fz_rows = []
+            if local:
+                fz_rows = [
+                    (r["surface"], r["record_id"])
+                    for r in link_fuzzy(
+                        spark.createDataFrame(
+                            [(s,) for s in local], "surface string"
+                        ),
+                        self.surfaces,
+                        jaccard_threshold=self.fuzzy_threshold,
+                    ).collect()
+                ]
+            if not fz_rows:
+                return fully_linked  # nothing recoverable: unmatched rows drop
+            fz = F.broadcast(
+                spark.createDataFrame(fz_rows, "surface string, record_id string")
+            )
+        else:
+            # unmatched set too large to collect: fuzzy-link it distributed
+            # (banded MinHash-LSH, no all-pairs), staged once so both patch
+            # joins scan parquet instead of recomputing the LSH plan.
+            fz = self._stage(
+                link_fuzzy(
+                    unmatched_df,
+                    self.surfaces,
+                    jaccard_threshold=self.fuzzy_threshold,
+                ).select("surface", "record_id")
+            )
+        return (
+            staged.join(
+                fz.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
+                    "record_id", "_fz_subj"
+                ),
+                "subj_surface",
+                "left",
+            )
+            .join(
+                fz.withColumnRenamed("surface", "obj_surface").withColumnRenamed(
+                    "record_id", "_fz_obj"
+                ),
+                "obj_surface",
+                "left",
+            )
+            .withColumn(
+                "subj_surface_record",
+                F.coalesce("subj_surface_record", "_fz_subj"),
+            )
+            .withColumn(
+                "obj_surface_record", F.coalesce("obj_surface_record", "_fz_obj")
+            )
+            .drop("_fz_subj", "_fz_obj")
+            .where(
+                F.col("subj_surface_record").isNotNull()
+                & F.col("obj_surface_record").isNotNull()
+            )
+        )
+
+    def _linked_distributed(self, mentions: DataFrame) -> DataFrame:
+        """The 100x-KB path: the dictionary exceeds ``max_local_dictionary``
+        so it is NEVER collected or broadcast-hinted — mentions shuffle-join
+        the distributed dictionary relation (AQE still broadcasts it if the
+        optimizer measures it small enough). Probe elision is impossible
+        without a local vocabulary, so fuzzy=True always runs the
+        distributed anti-join + MinHash-LSH pass; exact matches and fuzzy
+        recoveries union into one staged mapping consumed by both joins."""
+        from gtfsrt2lc_spark.operators.linking import resolve_dictionary
+
+        dict_df = resolve_dictionary(self.surfaces).select("surface", "record_id")
+        mentions = self._stage(mentions)
+        if self.fuzzy:
             unmatched_df = (
                 mentions.select(
                     F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
                 )
-                .join(F.broadcast(dict_df.select("surface")), "surface", "left_anti")
                 .distinct()
+                .join(dict_df, "surface", "left_anti")
             )
-            if self.max_local_surfaces is None:
-                local = [r["surface"] for r in unmatched_df.collect()]
-            else:
-                # one job either way: the head IS the unmatched list when it
-                # fits, and the size probe when it doesn't
-                head = unmatched_df.limit(self.max_local_surfaces + 1).collect()
-                if len(head) <= self.max_local_surfaces:
-                    local = [r["surface"] for r in head]
-        if local is not None:
-            rows = list(dic_local.items())
-            if local:
-                fz = link_fuzzy(
-                    spark.createDataFrame([(s,) for s in local], "surface string"),
-                    self.surfaces,
-                    jaccard_threshold=self.fuzzy_threshold,
-                ).collect()
-                rows.extend((r["surface"], r["record_id"]) for r in fz)
-            mapping = F.broadcast(
-                spark.createDataFrame(rows, "surface string, record_id string")
-            )
-        else:
-            # unmatched set too large to collect: fuzzy-link it distributed
-            # (banded MinHash-LSH, no all-pairs) and union with the exact
-            # dictionary, which is KB-sized and already local either way.
             fz = link_fuzzy(
                 unmatched_df, self.surfaces, jaccard_threshold=self.fuzzy_threshold
             ).select("surface", "record_id")
             mapping = self._stage(dict_df.unionByName(fz))
+        else:
+            mapping = dict_df
         m = mentions.join(
             mapping.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
                 "record_id", "subj_surface_record"
             ),
             "subj_surface",
         )
-        m = m.join(
+        return m.join(
             mapping.withColumnRenamed("surface", "obj_surface").withColumnRenamed(
                 "record_id", "obj_surface_record"
             ),
             "obj_surface",
         )
-        return m
 
     def _stage(self, df: DataFrame) -> DataFrame:
         """Materialize an intermediate to a scratch parquet dir and re-read.
@@ -351,6 +417,10 @@ class KGPipeline:
             else:
                 shutil.rmtree(path, ignore_errors=True)
         self._scratch.clear()
+        if not self._canonical_local:
+            # the staged canonical map's parquet just vanished with the
+            # scratch dirs — recompute on next use instead of dangling
+            self._canonical_map = None
 
     # ---- stage 5+6 -------------------------------------------------------
     def canonical_map(self) -> DataFrame:
@@ -359,7 +429,14 @@ class KGPipeline:
         Connected components over sameAs edges; component id = min record_id;
         IRI minted from the canonical record's name. Computed once per
         pipeline instance and cached (the KB is static across micro-batches —
-        the reference's index-reuse pattern, README.md:58)."""
+        the reference's index-reuse pattern, README.md:58).
+
+        Under ``max_local_dictionary`` records the map is collected and
+        served as a LocalRelation (cheap to broadcast repeatedly, no
+        distributed subplan re-runs); beyond the cap it is STAGED to
+        parquet and joined distributed — a 100x KB must never transit the
+        driver (``_canonical_local`` tells triples() whether a broadcast
+        hint is sound)."""
         if self._canonical_map is not None:
             return self._canonical_map
         cc = connected_components(self.sameas)
@@ -379,12 +456,23 @@ class KGPipeline:
             "canonical_record",
             entity_iri(F.col("canonical_name")).alias("iri"),
         )
-        # KB-sized by definition -> collect once, serve as a LocalRelation
-        # (cheap to broadcast repeatedly; no distributed subplan re-runs)
-        rows = [(r["record_id"], r["canonical_record"], r["iri"]) for r in out.collect()]
+        if self.max_local_dictionary is None:
+            collected = out.collect()
+        else:
+            # one job either way: the head IS the map when it fits,
+            # and the size probe when it doesn't
+            collected = out.limit(self.max_local_dictionary + 1).collect()
+            if len(collected) > self.max_local_dictionary:
+                self._canonical_map = self._stage(out)
+                self._canonical_local = False
+                return self._canonical_map
+        rows = [
+            (r["record_id"], r["canonical_record"], r["iri"]) for r in collected
+        ]
         self._canonical_map = self.records.sparkSession.createDataFrame(
             rows, "record_id string, canonical_record string, iri string"
         )
+        self._canonical_local = True
         return self._canonical_map
 
     # ---- stage 7 ---------------------------------------------------------
@@ -394,7 +482,9 @@ class KGPipeline:
         with_part=True additionally carries ``part_id`` (for the checkpoint
         manifest) and dedups per (part, s, p, o)."""
         linked = self.linked(self.mentions(self.extracted(pages)))
-        canon = F.broadcast(self.canonical_map())
+        canon = self.canonical_map()
+        if self._canonical_local:  # over-cap maps join distributed (AQE picks)
+            canon = F.broadcast(canon)
 
         pred_map = F.create_map(
             *[F.lit(x) for kv in self.predicates.items() for x in kv]

@@ -210,7 +210,15 @@ def stream_feeds_to_connections(
 
 def read_stream_connections(spark: SparkSession, out_dir: str) -> DataFrame:
     """All connections emitted across epochs (each row is a state change —
-    the differential emit log, not a snapshot)."""
+    the differential emit log, not a snapshot).
+
+    A stream whose every micro-batch was fully differential-suppressed
+    (n_fresh == 0 throughout) never writes out_dir at all — that is a valid
+    0-change run, not an error, so a missing path reads as an empty frame
+    with the same columns a real read yields (_OUT_SCHEMA + the epoch
+    partition column)."""
+    if not hadoop_fs.exists(spark, out_dir):
+        return spark.createDataFrame([], _OUT_SCHEMA + ", epoch string")
     return (
         spark.read.schema(_OUT_SCHEMA)
         .option("basePath", out_dir)

@@ -60,7 +60,12 @@ def run_with_eventlog(cores: int, corpus: str) -> str:
     return max(logs, key=os.path.getmtime)
 
 
-def analyze(path: str, cores: int) -> None:
+def parse_eventlog(path: str) -> tuple[list[dict], int | None, int | None]:
+    """Per-stage metric dicts (sorted by submission time) + app start/end ms.
+
+    Accepts a single-file event log or a v2 rolling dir; .zstd parts are
+    decoded via the system zstd binary. Importable: bench_scaling's
+    --forensics guard and the detector unit test both reuse this parser."""
     if os.path.isdir(path):  # eventlog v2 rolling dir
         parts = sorted(glob.glob(os.path.join(path, "events_*")))
         if not parts:
@@ -83,58 +88,88 @@ def analyze(path: str, cores: int) -> None:
                     yield from f
 
     stages = {}  # (stageId, attempt) -> dict
-    jobs = []
     app_start = app_end = None
-    if True:
-        for line in lines():
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            e = ev.get("Event")
-            if e == "SparkListenerApplicationStart":
-                app_start = ev["Timestamp"]
-            elif e == "SparkListenerApplicationEnd":
-                app_end = ev["Timestamp"]
-            elif e == "SparkListenerJobStart":
-                jobs.append({"id": ev["Job ID"], "t0": ev["Submission Time"],
-                             "stages": [s["Stage ID"] for s in ev["Stage Infos"]]})
-            elif e == "SparkListenerJobEnd":
-                for j in jobs:
-                    if j["id"] == ev["Job ID"]:
-                        j["t1"] = ev["Completion Time"]
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                key = (si["Stage ID"], si["Stage Attempt ID"])
-                st = stages.setdefault(key, {
-                    "task_ms": 0, "gc_ms": 0, "cpu_ns": 0,
-                    "shuffle_write": 0, "shuffle_read": 0,
-                    "input": 0, "output": 0, "python_ms": 0})
-                st["name"] = si["Stage Name"].split("\n")[0][:70]
-                st["tasks"] = si["Number of Tasks"]
-                st["t0"] = si.get("Submission Time")
-                st["t1"] = si.get("Completion Time")
-            elif e == "SparkListenerTaskEnd":
-                key = (ev["Stage ID"], ev["Stage Attempt ID"])
-                st = stages.setdefault(key, {
-                    "name": "?", "tasks": 0, "t0": None, "t1": None,
-                    "task_ms": 0, "gc_ms": 0, "cpu_ns": 0,
-                    "shuffle_write": 0, "shuffle_read": 0,
-                    "input": 0, "output": 0, "python_ms": 0})
-                m = ev.get("Task Metrics") or {}
-                st["task_ms"] += m.get("Executor Run Time", 0)
-                st["gc_ms"] += m.get("JVM GC Time", 0)
-                st["cpu_ns"] += m.get("Executor CPU Time", 0)
-                st["shuffle_write"] += (m.get("Shuffle Write Metrics") or {}).get(
-                    "Shuffle Bytes Written", 0)
-                sr = m.get("Shuffle Read Metrics") or {}
-                st["shuffle_read"] += sr.get("Local Bytes Read", 0) + sr.get(
-                    "Remote Bytes Read", 0)
-                st["input"] += (m.get("Input Metrics") or {}).get("Bytes Read", 0)
-                st["output"] += (m.get("Output Metrics") or {}).get("Bytes Written", 0)
+    for line in lines():
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        e = ev.get("Event")
+        if e == "SparkListenerApplicationStart":
+            app_start = ev["Timestamp"]
+        elif e == "SparkListenerApplicationEnd":
+            app_end = ev["Timestamp"]
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            key = (si["Stage ID"], si["Stage Attempt ID"])
+            st = stages.setdefault(key, {
+                "task_ms": 0, "gc_ms": 0, "cpu_ns": 0,
+                "shuffle_write": 0, "shuffle_read": 0,
+                "input": 0, "output": 0, "python_ms": 0})
+            st["name"] = si["Stage Name"].split("\n")[0][:70]
+            st["tasks"] = si["Number of Tasks"]
+            st["t0"] = si.get("Submission Time")
+            st["t1"] = si.get("Completion Time")
+        elif e == "SparkListenerTaskEnd":
+            key = (ev["Stage ID"], ev["Stage Attempt ID"])
+            st = stages.setdefault(key, {
+                "name": "?", "tasks": 0, "t0": None, "t1": None,
+                "task_ms": 0, "gc_ms": 0, "cpu_ns": 0,
+                "shuffle_write": 0, "shuffle_read": 0,
+                "input": 0, "output": 0, "python_ms": 0})
+            m = ev.get("Task Metrics") or {}
+            st["task_ms"] += m.get("Executor Run Time", 0)
+            st["gc_ms"] += m.get("JVM GC Time", 0)
+            st["cpu_ns"] += m.get("Executor CPU Time", 0)
+            st["shuffle_write"] += (m.get("Shuffle Write Metrics") or {}).get(
+                "Shuffle Bytes Written", 0)
+            sr = m.get("Shuffle Read Metrics") or {}
+            st["shuffle_read"] += sr.get("Local Bytes Read", 0) + sr.get(
+                "Remote Bytes Read", 0)
+            st["input"] += (m.get("Input Metrics") or {}).get("Bytes Read", 0)
+            st["output"] += (m.get("Output Metrics") or {}).get("Bytes Written", 0)
+    done = sorted(stages.values(), key=lambda s: s.get("t0") or 0)
+    return done, app_start, app_end
 
-    done = [s for s in stages.values() if s.get("t0") and s.get("t1")]
-    done.sort(key=lambda s: s["t0"])
+
+def payload_shuffle_audit(
+    stages: list[dict], threshold_frac: float = 0.3
+) -> dict:
+    """Detect a payload leaking into an exchange — the failure class that
+    silently broke N->4N scaling in round 4 (latest_by_key sort-merge-joining
+    1.9 GB of html once its winner set outgrew the broadcast threshold).
+
+    Signature: a stage whose SHUFFLE-WRITE bytes exceed ``threshold_frac`` of
+    the job's total scan input. Healthy stages in this engine shuffle digests,
+    keys, and aggregates — orders of magnitude below the corpus scan — so a
+    shuffle within a constant factor of the input IS the payload. Returns
+    {"input_bytes", "max_shuffle_write_bytes", "flagged": [stage dicts]};
+    callers fail loudly when flagged is non-empty."""
+    input_bytes = sum(s.get("input", 0) for s in stages)
+    flagged = [
+        {
+            "stage": s.get("name", "?"),
+            "shuffle_write_bytes": s["shuffle_write"],
+            "input_frac": round(s["shuffle_write"] / input_bytes, 3)
+            if input_bytes
+            else None,
+        }
+        for s in stages
+        if input_bytes and s.get("shuffle_write", 0) > threshold_frac * input_bytes
+    ]
+    return {
+        "input_bytes": input_bytes,
+        "max_shuffle_write_bytes": max(
+            (s.get("shuffle_write", 0) for s in stages), default=0
+        ),
+        "threshold_frac": threshold_frac,
+        "flagged": flagged,
+    }
+
+
+def analyze(path: str, cores: int) -> None:
+    all_stages, app_start, app_end = parse_eventlog(path)
+    done = [s for s in all_stages if s.get("t0") and s.get("t1")]
     total = (app_end - app_start) / 1000 if app_end else None
     print(f"\napp wall: {total:.1f}s  cores={cores}")
     print(f"{'stage':<70} {'wall_s':>7} {'tasks':>5} {'par':>5} "

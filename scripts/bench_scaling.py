@@ -30,6 +30,8 @@ import time
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # `from scripts...` when invoked as a script
+    sys.path.insert(0, REPO)
 
 
 def _burn(n: int) -> int:
@@ -73,7 +75,34 @@ def _package_zip() -> str:
     return path
 
 
-def run_once(cores: int, corpus: str, zip_path: str, pin: bool = False) -> dict:
+def corpus_stats(corpus: str) -> dict:
+    """MEASURED corpus provenance for the artifact (round-4 verdict: the old
+    artifact recorded the unused --n-pages CLI default, claiming 1M pages over
+    a 2.08M-doc staging). Row count + distinct urls come from the parquet
+    itself (duckdb, no Spark session needed); bytes from the filesystem."""
+    import duckdb
+
+    pages_glob = os.path.join(corpus, "pages", "*.parquet")
+    n_rows, n_urls = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT url) FROM read_parquet('{pages_glob}')"
+    ).fetchone()
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(corpus)
+        for f in files
+    )
+    return {
+        "corpus": corpus,
+        "page_rows": n_rows,
+        "distinct_urls": n_urls,
+        "parquet_bytes": total_bytes,
+    }
+
+
+def run_once(
+    cores: int, corpus: str, zip_path: str, pin: bool = False,
+    eventlog_dir: str | None = None,
+) -> dict:
     out = tempfile.mkdtemp(prefix=f"kg_scale_{cores}_")
     cmd = []
     if pin:
@@ -98,6 +127,13 @@ def run_once(cores: int, corpus: str, zip_path: str, pin: bool = False) -> dict:
         # (G1 behavior with large text batches; 48g ~1.5x slower, 80g ~3x)
         "--conf", "spark.driver.memory=24g",
         "--conf", "spark.ui.enabled=false",
+    ]
+    if eventlog_dir is not None:
+        cmd += [
+            "--conf", "spark.eventLog.enabled=true",
+            "--conf", f"spark.eventLog.dir=file://{eventlog_dir}",
+        ]
+    cmd += [
         os.path.join(REPO, "scripts", "submit_pipeline.py"),
         "--corpus", corpus,
         "--out", os.path.join(out, "kg"),
@@ -127,8 +163,16 @@ def main() -> None:
                     help="taskset each run to exactly its core budget (faithful "
                          "executor proxy: python UDF workers share the executor's "
                          "cores on a real cluster)")
+    ap.add_argument("--forensics", action="store_true",
+                    help="event-log every run and audit per-stage shuffle-write "
+                         "bytes; FAIL (exit 1) if any stage shuffles more than "
+                         "--forensics-threshold of the scan input — the "
+                         "payload-leaked-into-an-exchange signature that broke "
+                         "round-4 scaling")
+    ap.add_argument("--forensics-threshold", type=float, default=0.3)
     args = ap.parse_args()
 
+    staged_here = False
     corpus = args.corpus or os.path.join(tempfile.gettempdir(), f"kgcorpus_{args.n_pages}")
     if not os.path.exists(os.path.join(corpus, "pages")):
         subprocess.run(
@@ -137,10 +181,17 @@ def main() -> None:
             check=True,
             env={**os.environ, "PYTHONPATH": REPO},
         )
+        staged_here = True
 
     zip_path = _package_zip()
-    results = {"n_pages": args.n_pages, "corpus": corpus, "pinned": args.pin, "runs": []}
+    # provenance is MEASURED from the staged parquet, never echoed from CLI
+    # defaults (the round-4 artifacts recorded n_pages=1000000 over a 2.08M
+    # corpus because --n-pages was unused when --corpus was passed)
+    results = {"corpus_stats": corpus_stats(corpus), "pinned": args.pin, "runs": []}
+    if staged_here:
+        results["staging_args"] = {"n_pages": args.n_pages}
     tp: dict[int, list[float]] = {args.n: [], args.n * 4: []}
+    flagged_any = False
     # INTERLEAVE the two levels (N, 4N, N, 4N, ...): shared-host throttle
     # windows drift on minute scales, so consecutive same-level repeats see
     # correlated speed while the ratio between adjacent opposite-level runs
@@ -149,8 +200,25 @@ def main() -> None:
     for _ in range(args.repeats):
         for cores in (args.n, args.n * 4):
             off = round(time.monotonic() - t_start, 1)
-            r = run_once(cores, corpus, zip_path, pin=args.pin)
+            evdir = tempfile.mkdtemp(prefix="kg_scale_ev_") if args.forensics else None
+            r = run_once(cores, corpus, zip_path, pin=args.pin, eventlog_dir=evdir)
             r["t_offset_sec"] = off
+            if evdir is not None:
+                import glob as _glob
+
+                from scripts.analyze_eventlog import (
+                    parse_eventlog, payload_shuffle_audit)
+
+                log = max(_glob.glob(os.path.join(evdir, "*")), key=os.path.getmtime)
+                stages, _a0, _a1 = parse_eventlog(log)
+                audit = payload_shuffle_audit(stages, args.forensics_threshold)
+                r["shuffle_audit"] = audit
+                if audit["flagged"]:
+                    flagged_any = True
+                    sys.stderr.write(
+                        f"FORENSICS: payload shuffle detected at local[{cores}]: "
+                        f"{json.dumps(audit['flagged'])}\n"
+                    )
             results["runs"].append(r)
             tp[cores].append(r["docs_per_sec"])
     best = {c: max(v) for c, v in tp.items()}
@@ -174,10 +242,14 @@ def main() -> None:
             "passes_north_rule_normalized": speedup / cal_speedup >= 0.8,
         }
     )
+    if args.forensics:
+        results["forensics_flagged"] = flagged_any
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", args.out_name), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
+    if flagged_any:
+        sys.exit(1)  # fail loudly: a payload is transiting an exchange
 
 
 if __name__ == "__main__":

@@ -1,0 +1,110 @@
+"""Event-log forensics regression guard (round-4 verdict item 6).
+
+The payload-shuffle detector is what found round 4's real scale bug —
+latest_by_key silently sort-merge-joining 1.9 GB of html through an exchange
+once its winner set outgrew the broadcast threshold. These tests pin the
+detector itself so `bench_scaling.py --forensics` keeps failing loudly on
+that signature. Spark-free: the parser consumes the JSON-lines event-log
+format directly (SparkListener* events, one per line).
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from scripts.analyze_eventlog import parse_eventlog, payload_shuffle_audit  # noqa: E402
+
+
+def _task_end(stage_id, input_bytes=0, shuffle_write=0):
+    return {
+        "Event": "SparkListenerTaskEnd",
+        "Stage ID": stage_id,
+        "Stage Attempt ID": 0,
+        "Task Metrics": {
+            "Executor Run Time": 100,
+            "Input Metrics": {"Bytes Read": input_bytes},
+            "Shuffle Write Metrics": {"Shuffle Bytes Written": shuffle_write},
+        },
+    }
+
+
+def _stage_done(stage_id, name):
+    return {
+        "Event": "SparkListenerStageCompleted",
+        "Stage Info": {
+            "Stage ID": stage_id,
+            "Stage Attempt ID": 0,
+            "Stage Name": name,
+            "Number of Tasks": 2,
+            "Submission Time": 1000 + stage_id,
+            "Completion Time": 2000 + stage_id,
+        },
+    }
+
+
+def _write_log(tmp_path, events):
+    p = tmp_path / "app-0001"
+    p.write_text("\n".join(json.dumps(e) for e in events) + "\n")
+    return str(p)
+
+
+def test_parse_eventlog_aggregates_per_stage(tmp_path):
+    log = _write_log(tmp_path, [
+        {"Event": "SparkListenerApplicationStart", "Timestamp": 500},
+        _task_end(0, input_bytes=600_000_000, shuffle_write=1_000_000),
+        _task_end(0, input_bytes=400_000_000, shuffle_write=2_000_000),
+        _stage_done(0, "scan pages"),
+        _task_end(1, shuffle_write=5_000_000),
+        _stage_done(1, "digest exchange"),
+        {"Event": "SparkListenerApplicationEnd", "Timestamp": 9500},
+    ])
+    stages, t0, t1 = parse_eventlog(log)
+    assert (t0, t1) == (500, 9500)
+    assert len(stages) == 2
+    scan = next(s for s in stages if s["name"] == "scan pages")
+    assert scan["input"] == 1_000_000_000
+    assert scan["shuffle_write"] == 3_000_000
+    assert scan["tasks"] == 2
+
+
+def test_audit_passes_digest_only_shuffles(tmp_path):
+    # healthy engine shape: 1 GB scanned, only digests/keys shuffle (MBs)
+    log = _write_log(tmp_path, [
+        _task_end(0, input_bytes=1_000_000_000, shuffle_write=4_000_000),
+        _stage_done(0, "scan pages"),
+        _task_end(1, shuffle_write=12_000_000),
+        _stage_done(1, "dedup stats exchange"),
+    ])
+    stages, _, _ = parse_eventlog(log)
+    audit = payload_shuffle_audit(stages, threshold_frac=0.3)
+    assert audit["flagged"] == []
+    assert audit["input_bytes"] == 1_000_000_000
+
+
+def test_audit_flags_payload_shuffle(tmp_path):
+    # the round-4 bug signature: shuffle-write within a constant factor of
+    # the corpus scan (html payload transiting a sort-merge exchange)
+    log = _write_log(tmp_path, [
+        _task_end(0, input_bytes=1_000_000_000, shuffle_write=0),
+        _stage_done(0, "scan pages"),
+        _task_end(1, shuffle_write=900_000_000),
+        _stage_done(1, "sort merge join html"),
+    ])
+    stages, _, _ = parse_eventlog(log)
+    audit = payload_shuffle_audit(stages, threshold_frac=0.3)
+    assert len(audit["flagged"]) == 1
+    f = audit["flagged"][0]
+    assert f["stage"] == "sort merge join html"
+    assert f["shuffle_write_bytes"] == 900_000_000
+    assert f["input_frac"] == 0.9
+
+
+def test_audit_zero_input_never_divides_by_zero():
+    audit = payload_shuffle_audit(
+        [{"name": "x", "input": 0, "shuffle_write": 10}], threshold_frac=0.3
+    )
+    assert audit["flagged"] == []
+    assert audit["input_bytes"] == 0

@@ -120,19 +120,103 @@ def test_fuzzy_link_band_join_shuffles_no_shingles(spark, corpus_dfs):
     assert checked > 0, "expected a band-keyed Exchange in the plan"
 
 
-def test_distributed_mapping_equivalence(corpus_dfs, result_triples):
-    """max_local_surfaces=0 forces the fully distributed surface->record
-    mapping (the web-scale path where the distinct surface set must never
-    be collected); the triple set must be identical to the driver-side
-    fast path — the engine's MemStore/LevelStore-style duality."""
-    pages, records, surfaces, sameas = corpus_dfs
-    preds = {phrase: local for phrase, (local, _, _) in PREDICATES.items()}
-    pipe = KGPipeline(records, surfaces, sameas, preds, max_local_surfaces=0)
+def _dirty_pages(spark, pages):
+    """Clean corpus + pages whose fact sentences carry OUT-OF-DICTIONARY
+    (typo'd) surfaces — one in the subject slot, one in the object slot —
+    so linked()'s miss counter is provably non-zero and the fuzzy branch
+    under test actually executes (a clean corpus takes the miss==0 elision
+    fast path and never reaches it)."""
+    from datetime import datetime
+
+    from gtfsrt2lc_spark.fixtures.pages import _render_page
+
+    typo_sentences = [
+        ("https://dirty.example.net/t/1", "Ada Lovelacee works for Acme Corp."),
+        ("https://dirty.example.net/t/2", "Alan Turing works for Stark Industres."),
+    ]
+    rows = [
+        (
+            url,
+            datetime(2024, 6, 1, 0, 0, i),
+            _render_page(url, "dirty.example.net", "en", [s], False).encode("utf-8"),
+            None,
+            "en",
+        )
+        for i, (url, s) in enumerate(typo_sentences)
+    ]
+    dirty = spark.createDataFrame(rows, pages.schema)
+    expected_extra = {
+        (
+            "http://example.org/kg/entity/Ada_Lovelace",
+            "http://example.org/kg/ontology#worksFor",
+            "http://example.org/kg/entity/Acme_Corp",
+        ),
+        (
+            "http://example.org/kg/entity/Alan_Turing",
+            "http://example.org/kg/ontology#worksFor",
+            "http://example.org/kg/entity/Stark_Industries",
+        ),
+    }
+    return pages.unionByName(dirty), expected_extra
+
+
+def _triple_set(pipe, pages):
     try:
-        got = {
-            (r["subj"], r["pred"], r["obj"])
-            for r in pipe.triples(pages).collect()
+        return {
+            (r["subj"], r["pred"], r["obj"]) for r in pipe.triples(pages).collect()
         }
     finally:
         pipe.cleanup()
-    assert got == result_triples
+
+
+def test_fuzzy_patch_recovers_dirty_corpus(spark, corpus_dfs, result_triples):
+    """Out-of-dictionary surfaces force miss>0: the probe-elision fast path
+    must NOT fire, the fuzzy patch must recover exactly the typo'd facts,
+    and everything else must match the clean-corpus golden set."""
+    pages, records, surfaces, sameas = corpus_dfs
+    preds = {phrase: local for phrase, (local, _, _) in PREDICATES.items()}
+    dirty, extra = _dirty_pages(spark, pages)
+    got = _triple_set(KGPipeline(records, surfaces, sameas, preds), dirty)
+    assert got == result_triples | extra
+
+
+def test_distributed_fuzzy_mapping_equivalence(spark, corpus_dfs, result_triples):
+    """max_local_surfaces=0 + a dirty corpus forces the fully DISTRIBUTED
+    fuzzy mapping (the web-scale branch where the unmatched surface set must
+    never be collected); the triple set must be identical to the driver-side
+    fast path — the engine's MemStore/LevelStore-style duality. The dirty
+    pages guarantee miss>0, so the branch under test genuinely runs (with a
+    clean corpus the miss==0 elision would short-circuit it)."""
+    pages, records, surfaces, sameas = corpus_dfs
+    preds = {phrase: local for phrase, (local, _, _) in PREDICATES.items()}
+    dirty, extra = _dirty_pages(spark, pages)
+    pipe = KGPipeline(records, surfaces, sameas, preds, max_local_surfaces=0)
+    got = _triple_set(pipe, dirty)
+    assert got == result_triples | extra
+
+
+def test_distributed_dictionary_equivalence(spark, corpus_dfs, result_triples):
+    """max_local_dictionary=0 forces the 100x-KB path: the dictionary is
+    never collected (no broadcast LocalRelation, no driver dict), the
+    canonical map stays a staged distributed relation, and the exact+fuzzy
+    mapping joins run distributed — triples must still be identical."""
+    pages, records, surfaces, sameas = corpus_dfs
+    preds = {phrase: local for phrase, (local, _, _) in PREDICATES.items()}
+    dirty, extra = _dirty_pages(spark, pages)
+    pipe = KGPipeline(records, surfaces, sameas, preds, max_local_dictionary=0)
+    assert pipe._resolved_dictionary() is None  # over-cap probe engaged
+    got = _triple_set(pipe, dirty)
+    assert not pipe._canonical_local
+    assert got == result_triples | extra
+    # clean corpus through the same path (fuzzy finds nothing to recover)
+    pipe2 = KGPipeline(records, surfaces, sameas, preds, max_local_dictionary=0)
+    assert _triple_set(pipe2, pages) == result_triples
+
+
+def test_broadcast_dups_escape_hatch(spark, corpus_dfs, result_triples):
+    """broadcast_dups=False (the billion-dup-key fallback) must change the
+    physical join strategy only — identical triples."""
+    pages, records, surfaces, sameas = corpus_dfs
+    preds = {phrase: local for phrase, (local, _, _) in PREDICATES.items()}
+    pipe = KGPipeline(records, surfaces, sameas, preds, broadcast_dups=False)
+    assert _triple_set(pipe, pages) == result_triples

@@ -144,3 +144,30 @@ def test_glob_escape_unit():
 
     assert _glob_escape("/d/feed[1]{a}*?.pb") == r"/d/feed\[1\]\{a\}\*\?.pb"
     assert _glob_escape("/plain/path.pb") == "/plain/path.pb"
+
+
+def test_all_suppressed_stream_reads_empty(spark, pipeline, tmp_path):
+    """A stream whose EVERY micro-batch is fully differential-suppressed
+    (re-polled feed whose state the store already holds) never creates its
+    out_dir; reading it must yield 0 rows with the normal columns, not
+    PATH_NOT_FOUND — the documented all-empty contract."""
+    import os
+
+    store = HistoryStore(spark, str(tmp_path / "history"))
+    warm = tmp_path / "feeds_warm"
+    warm.mkdir()
+    (warm / "poll1.pb").write_bytes(G.gap_feed())
+    _drain(spark, str(warm), pipeline, store,
+           str(tmp_path / "warm_out"), str(tmp_path / "warm_ckpt"))
+
+    # identical feed, FRESH out/ckpt: 0 fresh rows in every batch
+    feeds = tmp_path / "feeds"
+    feeds.mkdir()
+    (feeds / "poll1.pb").write_bytes(G.gap_feed())
+    out = str(tmp_path / "out")
+    _drain(spark, str(feeds), pipeline, store, out, str(tmp_path / "ckpt"))
+
+    assert not os.path.exists(out)  # nothing was ever fresh
+    df = read_stream_connections(spark, out)
+    assert df.count() == 0
+    assert "epoch" in df.columns and "trip_id" in df.columns

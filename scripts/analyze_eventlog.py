@@ -88,6 +88,8 @@ def parse_eventlog(path: str) -> tuple[list[dict], int | None, int | None]:
                     yield from f
 
     stages = {}  # (stageId, attempt) -> dict
+    callsites = {}  # stageId -> job callsite (repo-relative file:line)
+    sql_descs = {}  # executionId (str) -> description
     app_start = app_end = None
     for line in lines():
         try:
@@ -99,6 +101,23 @@ def parse_eventlog(path: str) -> tuple[list[dict], int | None, int | None]:
             app_start = ev["Timestamp"]
         elif e == "SparkListenerApplicationEnd":
             app_end = ev["Timestamp"]
+        elif e.endswith("SparkListenerSQLExecutionStart"):
+            sql_descs[str(ev.get("executionId"))] = ev.get("description") or ""
+        elif e == "SparkListenerJobStart":
+            # Stage names under AQE are a useless `withThreadLocalCaptured`
+            # anonfun; the job's callSite carries the real repo file:line.
+            # Fallback: the owning SQL execution's description (PySpark
+            # actions surface as e.g. `parquet at NativeMethodAccessorImpl`).
+            props = ev.get("Properties") or {}
+            cs = props.get("callSite.short") or ""
+            if not cs and props.get("spark.sql.execution.id") is not None:
+                cs = sql_descs.get(str(props["spark.sql.execution.id"]), "")
+            # strip the --py-files staging prefix down to the package path
+            if ".zip/" in cs:
+                cs = cs.split(" at ")[0] + " at " + cs.split(".zip/")[-1]
+            for si in ev.get("Stage Infos", []):
+                if cs:
+                    callsites[si["Stage ID"]] = cs
         elif e == "SparkListenerStageCompleted":
             si = ev["Stage Info"]
             key = (si["Stage ID"], si["Stage Attempt ID"])
@@ -128,37 +147,58 @@ def parse_eventlog(path: str) -> tuple[list[dict], int | None, int | None]:
                 "Remote Bytes Read", 0)
             st["input"] += (m.get("Input Metrics") or {}).get("Bytes Read", 0)
             st["output"] += (m.get("Output Metrics") or {}).get("Bytes Written", 0)
+    for (sid, _att), st in stages.items():
+        if sid in callsites:
+            st["callsite"] = callsites[sid]
     done = sorted(stages.values(), key=lambda s: s.get("t0") or 0)
     return done, app_start, app_end
 
 
 def payload_shuffle_audit(
-    stages: list[dict], threshold_frac: float = 0.3
+    stages: list[dict], threshold_frac: float = 0.3, scan_bytes: int | None = None
 ) -> dict:
     """Detect a payload leaking into an exchange — the failure class that
     silently broke N->4N scaling in round 4 (latest_by_key sort-merge-joining
     1.9 GB of html once its winner set outgrew the broadcast threshold).
 
     Signature: a stage whose SHUFFLE-WRITE bytes exceed ``threshold_frac`` of
-    the job's total scan input. Healthy stages in this engine shuffle digests,
+    the corpus scan volume. Healthy stages in this engine shuffle digests,
     keys, and aggregates — orders of magnitude below the corpus scan — so a
-    shuffle within a constant factor of the input IS the payload. Returns
-    {"input_bytes", "max_shuffle_write_bytes", "flagged": [stage dicts]};
+    shuffle within a constant factor of the input IS the payload.
+
+    Denominator: Spark 4.1's event log reports ~zero task-level Input Metrics
+    for these parquet scans (the r05 spin1 artifact flagged healthy 2% digest
+    shuffles against a 2 MB phantom denominator on a 2 GB corpus), so callers
+    that know the corpus size on disk MUST pass ``scan_bytes``; the audit uses
+    whichever of (summed task input metrics, scan_bytes) is larger and records
+    which one it trusted. With neither available nothing can be flagged, and
+    the artifact says so (``no_denominator``) instead of silently passing.
+
+    Returns {"denominator_bytes", "denominator_source", "task_input_bytes",
+    "scan_bytes", "max_shuffle_write_bytes", "flagged": [stage dicts]};
     callers fail loudly when flagged is non-empty."""
-    input_bytes = sum(s.get("input", 0) for s in stages)
+    task_input = sum(s.get("input", 0) for s in stages)
+    denom = max(task_input, scan_bytes or 0)
+    source = (
+        "none" if denom == 0
+        else "task_input_metrics" if task_input >= (scan_bytes or 0)
+        else "corpus_scan_bytes"
+    )
     flagged = [
         {
-            "stage": s.get("name", "?"),
+            "stage": s.get("callsite") or s.get("name", "?"),
             "shuffle_write_bytes": s["shuffle_write"],
-            "input_frac": round(s["shuffle_write"] / input_bytes, 3)
-            if input_bytes
-            else None,
+            "input_frac": round(s["shuffle_write"] / denom, 3),
         }
         for s in stages
-        if input_bytes and s.get("shuffle_write", 0) > threshold_frac * input_bytes
+        if denom and s.get("shuffle_write", 0) > threshold_frac * denom
     ]
     return {
-        "input_bytes": input_bytes,
+        "denominator_bytes": denom,
+        "denominator_source": source,
+        "task_input_bytes": task_input,
+        "scan_bytes": scan_bytes,
+        "no_denominator": denom == 0,
         "max_shuffle_write_bytes": max(
             (s.get("shuffle_write", 0) for s in stages), default=0
         ),
@@ -179,7 +219,8 @@ def analyze(path: str, cores: int) -> None:
         if wall < 0.3:
             continue
         par = (s["task_ms"] / 1000) / wall / cores if wall else 0
-        print(f"{s['name']:<70} {wall:>7.1f} {s['tasks']:>5} {par:>5.2f} "
+        label = s.get("callsite") or s["name"]
+        print(f"{label[:70]:<70} {wall:>7.1f} {s['tasks']:>5} {par:>5.2f} "
               f"{s['cpu_ns'] / 1e9:>7.1f} {s['gc_ms'] / 1000:>5.1f} "
               f"{s['input'] / 1e6:>7.0f} {s['shuffle_write'] / 1e6:>7.0f} "
               f"{s['shuffle_read'] / 1e6:>7.0f} {s['output'] / 1e6:>7.0f}")

@@ -101,7 +101,7 @@ def corpus_stats(corpus: str) -> dict:
 
 def run_once(
     cores: int, corpus: str, zip_path: str, pin: bool = False,
-    eventlog_dir: str | None = None,
+    eventlog_dir: str | None = None, extra_args: list[str] | None = None,
 ) -> dict:
     out = tempfile.mkdtemp(prefix=f"kg_scale_{cores}_")
     cmd = []
@@ -138,7 +138,7 @@ def run_once(
         "--corpus", corpus,
         "--out", os.path.join(out, "kg"),
         "--warmup",
-    ]
+    ] + (extra_args or [])
     res = subprocess.run(cmd, capture_output=True, text=True, check=False)
     for line in reversed(res.stdout.splitlines()):
         if line.startswith("{"):
@@ -211,7 +211,11 @@ def main() -> None:
 
                 log = max(_glob.glob(os.path.join(evdir, "*")), key=os.path.getmtime)
                 stages, _a0, _a1 = parse_eventlog(log)
-                audit = payload_shuffle_audit(stages, args.forensics_threshold)
+                # Spark 4.1 event logs carry ~no task Input Metrics for these
+                # parquet scans; the measured corpus bytes are the denominator
+                audit = payload_shuffle_audit(
+                    stages, args.forensics_threshold,
+                    scan_bytes=results["corpus_stats"]["parquet_bytes"])
                 r["shuffle_audit"] = audit
                 if audit["flagged"]:
                     flagged_any = True

@@ -23,6 +23,10 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--warmup", action="store_true",
                     help="run the plan on a 1%% slice first (codegen + python workers), untimed")
+    ap.add_argument("--no-broadcast-dups", action="store_true",
+                    help="latest-wins dedup escape hatch (billion-dup-key "
+                         "corpora): winner selection via payload shuffle "
+                         "instead of the broadcast dup-stats join")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -46,7 +50,8 @@ def main() -> None:
     n_docs = pages.select("url").distinct().count()  # input materialization, untimed
 
     pipe = KGPipeline(records, surfaces, sameas,
-                      {ph: loc for ph, (loc, _, _) in PREDICATES.items()})
+                      {ph: loc for ph, (loc, _, _) in PREDICATES.items()},
+                      broadcast_dups=not args.no_broadcast_dups)
     pipe.canonical_map()  # KB prep amortized across runs, untimed
     if args.warmup:
         pipe.triples(pages.where(F.pmod(F.xxhash64("url"), F.lit(100)) == 0)).count()

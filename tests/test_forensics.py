@@ -81,7 +81,8 @@ def test_audit_passes_digest_only_shuffles(tmp_path):
     stages, _, _ = parse_eventlog(log)
     audit = payload_shuffle_audit(stages, threshold_frac=0.3)
     assert audit["flagged"] == []
-    assert audit["input_bytes"] == 1_000_000_000
+    assert audit["denominator_bytes"] == 1_000_000_000
+    assert audit["denominator_source"] == "task_input_metrics"
 
 
 def test_audit_flags_payload_shuffle(tmp_path):
@@ -102,9 +103,52 @@ def test_audit_flags_payload_shuffle(tmp_path):
     assert f["input_frac"] == 0.9
 
 
+def test_audit_scan_bytes_denominator_when_input_metrics_absent(tmp_path):
+    # Spark 4.1 reality (r05 spin1): task Input Metrics ~zero for parquet
+    # scans, so a healthy 44 MB digest shuffle was flagged at 21x a 2 MB
+    # phantom denominator. With the measured corpus bytes passed in, the
+    # same log is judged against the true scan volume.
+    log = _write_log(tmp_path, [
+        _task_end(0, input_bytes=30_000, shuffle_write=44_000_000),
+        _stage_done(0, "digest exchange"),
+    ])
+    stages, _, _ = parse_eventlog(log)
+    healthy = payload_shuffle_audit(stages, 0.3, scan_bytes=2_000_000_000)
+    assert healthy["flagged"] == []
+    assert healthy["denominator_source"] == "corpus_scan_bytes"
+    assert healthy["denominator_bytes"] == 2_000_000_000
+    # and a genuine payload shuffle still flags against the scan volume
+    log2 = _write_log(tmp_path, [
+        _task_end(0, shuffle_write=1_900_000_000),
+        _stage_done(0, "sort merge join html"),
+    ])
+    stages2, _, _ = parse_eventlog(log2)
+    bad = payload_shuffle_audit(stages2, 0.3, scan_bytes=2_000_000_000)
+    assert len(bad["flagged"]) == 1
+    assert bad["flagged"][0]["input_frac"] == 0.95
+
+
 def test_audit_zero_input_never_divides_by_zero():
     audit = payload_shuffle_audit(
         [{"name": "x", "input": 0, "shuffle_write": 10}], threshold_frac=0.3
     )
     assert audit["flagged"] == []
-    assert audit["input_bytes"] == 0
+    assert audit["denominator_bytes"] == 0
+    assert audit["no_denominator"] is True
+
+
+def test_parse_eventlog_attaches_job_callsites(tmp_path):
+    # AQE stage names are an anonfun; the JobStart callSite carries the
+    # repo file:line (with the --py-files zip prefix stripped)
+    log = _write_log(tmp_path, [
+        {"Event": "SparkListenerJobStart", "Job ID": 0,
+         "Stage Infos": [{"Stage ID": 0}],
+         "Properties": {"callSite.short":
+                        "collect at /tmp/spark-x/userFiles-y/gtfsrt2lc_spark"
+                        ".zip/gtfsrt2lc_spark/operators/dedup.py:55"}},
+        _task_end(0, shuffle_write=5),
+        _stage_done(0, "$anonfun$withThreadLocalCaptured$2 at Completable"),
+    ])
+    stages, _, _ = parse_eventlog(log)
+    assert stages[0]["callsite"] == (
+        "collect at gtfsrt2lc_spark/operators/dedup.py:55")

@@ -102,6 +102,7 @@ def corpus_stats(corpus: str) -> dict:
 def run_once(
     cores: int, corpus: str, zip_path: str, pin: bool = False,
     eventlog_dir: str | None = None, extra_args: list[str] | None = None,
+    extra_confs: list[str] | None = None,
 ) -> dict:
     out = tempfile.mkdtemp(prefix=f"kg_scale_{cores}_")
     cmd = []
@@ -133,6 +134,8 @@ def run_once(
             "--conf", "spark.eventLog.enabled=true",
             "--conf", f"spark.eventLog.dir=file://{eventlog_dir}",
         ]
+    for c in extra_confs or []:
+        cmd += ["--conf", c]
     cmd += [
         os.path.join(REPO, "scripts", "submit_pipeline.py"),
         "--corpus", corpus,

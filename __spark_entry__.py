@@ -610,6 +610,71 @@ def q_quality_score(spark, sf_dir):
     )
 
 
+def _topgram_frac(d, n: int):
+    """(doc_id, top{n}gram_frac): share of the most frequent word n-gram.
+
+    Distributed shape: explode n-grams -> two-level aggregation (per-gram
+    count, then per-doc max/sum) -- all JVM-side, partial-aggregated
+    map-side; no per-doc collect. Docs with < n tokens emit no row
+    (no n-grams exist)."""
+    toks = tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = d.select("doc_id", F.explode(grams).alias("g"))
+    cnt = ex.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+            f"top{n}gram_frac"
+        )
+    )
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signals (Rae et al. 2021 rules C4/
+    Gopher use to drop boilerplate/spam): fraction of all word 2-grams
+    (resp. 3-grams) claimed by the single most frequent one, plus the keep
+    verdict at the published thresholds (top-2-gram <= 0.20, top-3-gram <=
+    0.18). Complements q_quality_score's length/stopword/uniqueness
+    features; the keep flag is computed on the rounded fractions so the
+    DuckDB twin is bit-identical."""
+    d = _t(spark, sf_dir, "documents")
+    out = _topgram_frac(d, 2).join(_topgram_frac(d, 3), "doc_id")
+    return out.select(
+        "doc_id",
+        "top2gram_frac",
+        "top3gram_frac",
+        ((F.col("top2gram_frac") <= 0.20) & (F.col("top3gram_frac") <= 0.18)).alias(
+            "keep"
+        ),
+    )
+
+
+def q_source_stats(spark, sf_dir):
+    """Host/source-level corpus rollup — the aggregation behind host-level
+    filtering in CC-style pipelines (drop or downweight whole domains by
+    aggregate quality): docs, total tokens, mean doc length, language
+    spread per source. One shuffle keyed by source; map-side partial agg
+    absorbs the (bounded-cardinality) key skew."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", "lang", "n_chars", F.size(tokens(F.col("text"))).alias("_nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors (vec_id < 3)."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1302,6 +1367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "cube": q_cube,
         "pivot": q_pivot,
+        # new this round: LLM-pipeline additions (first driver exposure via
+        # the judge's tail oracle check; rotate into the window next round)
+        "gopher_repetition": q_gopher_repetition,
+        "source_stats": q_source_stats,
     }
 
 
@@ -2122,6 +2191,50 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o,
                    COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "gopher_repetition": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKENS_SQL.format(s='text')} AS toks FROM documents
+            ),
+            g2 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS g
+                FROM t WHERE len(toks) >= 2
+            ),
+            c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+            f2 AS (
+                SELECT doc_id,
+                       ROUND(MAX(c)::DOUBLE / SUM(c)::DOUBLE, 6) AS top2gram_frac
+                FROM c2 GROUP BY doc_id
+            ),
+            g3 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+                FROM t WHERE len(toks) >= 3
+            ),
+            c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+            f3 AS (
+                SELECT doc_id,
+                       ROUND(MAX(c)::DOUBLE / SUM(c)::DOUBLE, 6) AS top3gram_frac
+                FROM c3 GROUP BY doc_id
+            )
+            SELECT f2.doc_id AS doc_id, top2gram_frac, top3gram_frac,
+                   (top2gram_frac <= 0.20 AND top3gram_frac <= 0.18) AS keep
+            FROM f2 JOIN f3 USING (doc_id)
+        """,
+        "source_stats": f"""
+            WITH t AS (
+                SELECT source, lang, n_chars,
+                       len({_TOKENS_SQL.format(s='text')}) AS nt
+                FROM documents
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(n_chars), 6) AS avg_chars,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM t GROUP BY source
         """,
         "time_buckets": """
             SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_start,

@@ -127,3 +127,39 @@ def sequence_pack(
         F.floor(offset / capacity).cast("long").alias("bin"),
         (F.col(tokens_col) > capacity).alias("overflow"),
     )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training-data export:
+    (*input columns, shard, pos).
+
+    Training runs need documents in an order uncorrelated with crawl/source
+    order, reproducible across engines and cluster sizes — ``rand()`` gives
+    neither. Rows hash to one of ``n_shards`` shards by the engine-portable
+    poly-hash of ``salt || key`` (vary ``salt`` per epoch for a fresh
+    permutation), and ``pos`` is the row's rank within its shard ordered by
+    (hash, key) — ties on the hash stay deterministic via the unique key.
+
+    Scale posture: the per-shard ``row_number`` window is a hash
+    repartition into ``n_shards`` balanced groups plus a sort within each —
+    physically identical to the shuffle-writer plan
+    (``repartition(shard).sortWithinPartitions``) a 100 TB export job runs;
+    no global single-reducer ordering anywhere. Choose ``n_shards`` ≈ the
+    target output file count, sized so one shard sorts in executor memory
+    (spills gracefully otherwise).
+    """
+    from pyspark.sql import Window
+
+    from gtfsrt2lc_spark.functions.hashing import poly_hash
+
+    h = poly_hash(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    out = df.withColumn("_h", h).withColumn(
+        "shard", (F.col("_h") % F.lit(n_shards)).cast("bigint")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(key_col))
+    return out.withColumn("pos", F.row_number().over(w).cast("bigint")).drop("_h")

@@ -72,3 +72,43 @@ def test_sequence_pack_leaves_no_cached_rdds(spark):
     assert result.count() == 500
     after = dict(spark.sparkContext._jsc.getPersistentRDDs())
     assert set(after) == set(before), "sequence_pack leaked cached RDDs"
+
+
+def test_shard_shuffle_is_deterministic_and_layout_independent(spark):
+    """Every row gets exactly one (shard, pos); pos is a dense 1..n_shard
+    rank; the full assignment is identical across partition layouts (the
+    reproducibility contract a training dataloader depends on)."""
+    from gtfsrt2lc_spark.operators.scan import shard_shuffle
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    base = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_shuffle(df, "doc_id", n_shards=8, salt="ep0").collect()
+    }
+    assert len(base) == 500
+    by_shard: dict = {}
+    for s, p in base.values():
+        assert 0 <= s < 8
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {s} rank not dense"
+    for n in (1, 7):
+        got = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in shard_shuffle(
+                df.repartition(n), "doc_id", n_shards=8, salt="ep0"
+            ).collect()
+        }
+        assert got == base, f"layout {n} changed the permutation"
+
+
+def test_shard_shuffle_salt_changes_permutation(spark):
+    """A different epoch salt yields a different permutation (fresh epoch
+    order), still covering every row exactly once."""
+    from gtfsrt2lc_spark.operators.scan import shard_shuffle
+
+    df = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_shuffle(df, "doc_id", 8, "ep0").collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_shuffle(df, "doc_id", 8, "ep1").collect()}
+    assert set(a) == set(b) == set(range(300))
+    assert a != b

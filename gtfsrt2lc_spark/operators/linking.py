@@ -73,13 +73,78 @@ def _shingle_hashes(col, n: int = 3):
     )
 
 
+def _prep_bands(
+    df: DataFrame, side: str, perms: list[tuple[int, int]], bands: int
+) -> DataFrame:
+    """(surface_<side>, band) LSH band table for one join side.
+
+    Explode shingle hashes -> flat min-aggregates per permutation
+    (SURVEY.md §2.9: posexplode + min per band, no UDAF, no deep HOFs),
+    emitting ONLY (surface, band) — payload-free by design."""
+    rows = len(perms) // bands
+    ex = df.select(
+        F.col("surface").alias(f"surface_{side}"),
+        F.explode(_shingle_hashes(F.col("surface"))).alias("h"),
+    )
+    sigs = ex.groupBy(f"surface_{side}").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(2_147_483_647)).alias(f"s{i}")
+            for i, (a, b) in enumerate(perms)
+        ],
+    )
+    bandcols = [
+        F.concat_ws(
+            "_",
+            F.lit(bi),
+            *[F.col(f"s{bi * rows + r}").cast("string") for r in range(rows)],
+        )
+        for bi in range(bands)
+    ]
+    return sigs.select(f"surface_{side}", F.explode(F.array(*bandcols)).alias("band"))
+
+
+class FuzzyDictionary:
+    """Precomputed dictionary side of the MinHash-LSH fuzzy linker.
+
+    The band table and shingle table are pure functions of the STATIC
+    dictionary, so a micro-batch loop must not rebuild them per batch —
+    the reference builds its indexes once and re-parses every feed against
+    them (README.md:58, lib/GtfsIndex.js:75-169), and at a 100x KB the
+    dictionary-side signature aggregation is the dominant cost of a fuzzy
+    pass. Build one of these per KB and pass it to ``link_fuzzy`` via
+    ``prepped``; callers may re-point ``bands_df`` / ``shingled`` at a
+    staged (parquet) or persisted copy so later batches scan instead of
+    recomputing (KGPipeline does exactly that).
+    """
+
+    def __init__(
+        self,
+        dictionary: DataFrame,
+        n_hashes: int = 16,
+        bands: int = 8,
+        seed: int = 42,
+    ) -> None:
+        self.n_hashes = n_hashes
+        self.bands = bands
+        self.seed = seed
+        self._perms = minhash_perms(n_hashes, seed=seed)
+        dic = resolve_dictionary(dictionary)
+        self.bands_df = _prep_bands(dic, "d", self._perms, bands)
+        self.shingled = dic.select(
+            F.col("surface").alias("surface_d"),
+            F.col("record_id"),
+            _shingle_hashes(F.col("surface")).alias("sh_d"),
+        )
+
+
 def link_fuzzy(
     surfaces_q: DataFrame,
-    dictionary: DataFrame,
+    dictionary: DataFrame | None,
     n_hashes: int = 16,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    prepped: FuzzyDictionary | None = None,
 ) -> DataFrame:
     """Fuzzy-link distinct unmatched surfaces to dictionary entries.
 
@@ -88,7 +153,11 @@ def link_fuzzy(
     Jaccard >= threshold.
 
     MinHash-LSH candidate generation (band-bucket equi-join) then exact
-    Jaccard verification on candidates only.
+    Jaccard verification on candidates only. Pass ``prepped`` (a
+    ``FuzzyDictionary``) to reuse the dictionary-side band/shingle tables
+    across calls — its n_hashes/bands/seed govern the query side too, so
+    both sides always hash identically; ``dictionary`` is ignored then and
+    may be None.
 
     Shuffle discipline: the band join replicates every row x bands, so it
     runs on NARROW (key, band) frames only; shingle sets are recomputed
@@ -100,42 +169,15 @@ def link_fuzzy(
     best, deterministically (the old arbitrary-row dropDuplicates could
     keep a worse-scoring surface's shingles).
     """
-    rows = n_hashes // bands
-    perms = minhash_perms(n_hashes, seed=seed)
-
-    def prep(df: DataFrame, side: str) -> DataFrame:
-        # explode shingle hashes -> flat min-aggregates per permutation
-        # (SURVEY.md §2.9: posexplode + min per band, no UDAF, no deep
-        # HOFs), emitting ONLY (surface, band) — payload-free by design
-        ex = df.select(
-            F.col("surface").alias(f"surface_{side}"),
-            F.explode(_shingle_hashes(F.col("surface"))).alias("h"),
-        )
-        sigs = ex.groupBy(f"surface_{side}").agg(
-            *[
-                F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(2_147_483_647)).alias(f"s{i}")
-                for i, (a, b) in enumerate(perms)
-            ],
-        )
-        bandcols = [
-            F.concat_ws(
-                "_",
-                F.lit(bi),
-                *[F.col(f"s{bi * rows + r}").cast("string") for r in range(rows)],
-            )
-            for bi in range(bands)
-        ]
-        return sigs.select(
-            f"surface_{side}", F.explode(F.array(*bandcols)).alias("band")
-        )
-
-    dic = resolve_dictionary(dictionary)
+    if prepped is None:
+        if dictionary is None:
+            raise ValueError("link_fuzzy needs either dictionary or prepped")
+        prepped = FuzzyDictionary(dictionary, n_hashes=n_hashes, bands=bands, seed=seed)
     qd = surfaces_q.select("surface").distinct()
-    q = prep(qd, "q")
-    d = prep(dic, "d")
+    q = _prep_bands(qd, "q", prepped._perms, prepped.bands)
 
     cand = (
-        q.join(d, "band")
+        q.join(prepped.bands_df, "band")
         .drop("band")
         .dropDuplicates(["surface_q", "surface_d"])
     )
@@ -143,12 +185,7 @@ def link_fuzzy(
         F.col("surface").alias("surface_q"),
         _shingle_hashes(F.col("surface")).alias("sh_q"),
     )
-    dsh = dic.select(
-        F.col("surface").alias("surface_d"),
-        F.col("record_id"),
-        _shingle_hashes(F.col("surface")).alias("sh_d"),
-    )
-    cand = cand.join(qsh, "surface_q").join(dsh, "surface_d")
+    cand = cand.join(qsh, "surface_q").join(prepped.shingled, "surface_d")
     inter = F.size(F.array_intersect("sh_q", "sh_d"))
     union = F.size("sh_q") + F.size("sh_d") - inter
     scored = cand.withColumn(

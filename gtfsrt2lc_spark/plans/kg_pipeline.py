@@ -95,6 +95,7 @@ class KGPipeline:
         self._canonical_local = True
         self._dict_local: dict[str, str] | None = None
         self._dict_over_cap = False
+        self._fuzzy_dict = None
         self._scratch: list[tuple[str, bool]] = []  # (path, via_hadoop_fs)
         self._stage_seq = 0
         self._spark = None
@@ -182,6 +183,25 @@ class KGPipeline:
                     return None
             self._dict_local = {r["surface"]: r["record_id"] for r in rows}
         return self._dict_local
+
+    def _fuzzy_dictionary(self):
+        """Dictionary-side LSH tables, built ONCE per pipeline and staged.
+
+        The band and shingle tables are pure functions of the static KB;
+        a streaming loop hitting dirty micro-batches would otherwise
+        recompute the dictionary-side signature aggregation on every batch
+        (the reference builds indexes once and reuses them across polls,
+        README.md:58). Both frames are staged to scratch parquet so every
+        later fuzzy pass — and the two patch joins that consume it in the
+        same batch — scan a file instead of re-running the LSH subplan."""
+        if self._fuzzy_dict is None:
+            from gtfsrt2lc_spark.operators.linking import FuzzyDictionary
+
+            fd = FuzzyDictionary(self.surfaces)
+            fd.bands_df = self._stage(fd.bands_df)
+            fd.shingled = self._stage(fd.shingled)
+            self._fuzzy_dict = fd
+        return self._fuzzy_dict
 
     def linked(self, mentions: DataFrame) -> DataFrame:
         """Mentions with subject/object KB record ids; unlinkable rows drop
@@ -284,8 +304,9 @@ class KGPipeline:
                         spark.createDataFrame(
                             [(s,) for s in local], "surface string"
                         ),
-                        self.surfaces,
+                        None,
                         jaccard_threshold=self.fuzzy_threshold,
+                        prepped=self._fuzzy_dictionary(),
                     ).collect()
                 ]
             if not fz_rows:
@@ -300,8 +321,9 @@ class KGPipeline:
             fz = self._stage(
                 link_fuzzy(
                     unmatched_df,
-                    self.surfaces,
+                    None,
                     jaccard_threshold=self.fuzzy_threshold,
+                    prepped=self._fuzzy_dictionary(),
                 ).select("surface", "record_id")
             )
         return (
@@ -354,7 +376,10 @@ class KGPipeline:
                 .join(dict_df, "surface", "left_anti")
             )
             fz = link_fuzzy(
-                unmatched_df, self.surfaces, jaccard_threshold=self.fuzzy_threshold
+                unmatched_df,
+                None,
+                jaccard_threshold=self.fuzzy_threshold,
+                prepped=self._fuzzy_dictionary(),
             ).select("surface", "record_id")
             mapping = self._stage(dict_df.unionByName(fz))
         else:
@@ -421,6 +446,8 @@ class KGPipeline:
             # the staged canonical map's parquet just vanished with the
             # scratch dirs — recompute on next use instead of dangling
             self._canonical_map = None
+        # the fuzzy dictionary's staged band/shingle parquet is gone too
+        self._fuzzy_dict = None
 
     # ---- stage 5+6 -------------------------------------------------------
     def canonical_map(self) -> DataFrame:

@@ -220,3 +220,55 @@ def test_broadcast_dups_escape_hatch(spark, corpus_dfs, result_triples):
     preds = {phrase: local for phrase, (local, _, _) in PREDICATES.items()}
     pipe = KGPipeline(records, surfaces, sameas, preds, broadcast_dups=False)
     assert _triple_set(pipe, pages) == result_triples
+
+
+def test_link_fuzzy_prepped_equivalence(spark, corpus_dfs, corpus):
+    """A precomputed FuzzyDictionary gives byte-identical links to the
+    build-inline path, and serves multiple query batches."""
+    _, _, surfaces, _ = corpus_dfs
+    from gtfsrt2lc_spark.operators.linking import FuzzyDictionary, link_fuzzy
+
+    q1 = spark.createDataFrame(
+        [("Ada Lovelacee",), ("Grace Hoper",)], "surface string"
+    )
+    q2 = spark.createDataFrame([("Stark Industres",)], "surface string")
+    direct = {
+        (r["surface"], r["record_id"], r["score"])
+        for r in link_fuzzy(q1, surfaces).collect()
+    }
+    fd = FuzzyDictionary(surfaces)
+    reused = {
+        (r["surface"], r["record_id"], r["score"])
+        for r in link_fuzzy(q1, None, prepped=fd).collect()
+    }
+    assert reused == direct
+    batch2 = {r["surface"]: r["record_id"] for r in link_fuzzy(q2, None, prepped=fd).collect()}
+    rec_by_name = {name: rid for rid, name, _ in corpus.records}
+    assert batch2.get("Stark Industres") == rec_by_name["Stark Industries"]
+
+
+def test_fuzzy_dictionary_reused_across_batches(spark, corpus_dfs, result_triples):
+    """Two dirty micro-batches through ONE pipeline build the dictionary-side
+    LSH tables exactly once (the reference's index-reuse pattern): the second
+    batch adds only its own stage checkpoint, results stay golden, and
+    cleanup() invalidates the cache with the staged parquet."""
+    pages, records, surfaces, sameas = corpus_dfs
+    preds = {phrase: local for phrase, (local, _, _) in PREDICATES.items()}
+    dirty, extra = _dirty_pages(spark, pages)
+    pipe = KGPipeline(records, surfaces, sameas, preds)
+    try:
+        got1 = {
+            (r["subj"], r["pred"], r["obj"]) for r in pipe.triples(dirty).collect()
+        }
+        fd = pipe._fuzzy_dict
+        assert fd is not None  # dirty batch engaged the fuzzy pass
+        n_stages = len(pipe._scratch)
+        got2 = {
+            (r["subj"], r["pred"], r["obj"]) for r in pipe.triples(dirty).collect()
+        }
+        assert pipe._fuzzy_dict is fd  # built once, reused
+        assert len(pipe._scratch) == n_stages + 1  # only batch 2's own stage
+        assert got1 == got2 == result_triples | extra
+    finally:
+        pipe.cleanup()
+    assert pipe._fuzzy_dict is None  # staged tables gone -> cache reset

@@ -93,6 +93,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--passes", type=int, default=5)
     ap.add_argument("--dirty-frac", type=float, default=0.02)
+    ap.add_argument("--out-name", default="flagship_protocols_r05.json")
     args = ap.parse_args()
 
     try:
@@ -190,7 +191,7 @@ def main() -> None:
         "docs_per_sec_distributed_dictionary": round(n_docs_dirty / min(dist_dict), 1),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "flagship_protocols_r05.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", args.out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 

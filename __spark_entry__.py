@@ -675,6 +675,37 @@ def q_source_stats(spark, sf_dir):
     )
 
 
+def q_mixture_weights(spark, sf_dir):
+    """Static corpus-mixture reweighting (the pre-training data-mixing
+    step): given a token budget of 50% of the corpus and a UNIFORM target
+    share per language, compute each language's sampling rate
+    (capped at 1.0 — you cannot upsample what you do not have) and the
+    tokens it contributes. The language-level aggregate is one bounded-
+    cardinality shuffle; the scalar totals join back via a one-row
+    broadcast (constant-table pattern, operators/similarity.py)."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select("lang", F.size(tokens(F.col("text"))).alias("_nt"))
+        .groupBy("lang")
+        .agg(F.sum("_nt").cast("bigint").alias("lang_tokens"))
+    )
+    tot = per.agg(
+        F.sum("lang_tokens").cast("bigint").alias("_total"),
+        F.count("*").alias("_n_langs"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    target = F.floor(F.floor(F.col("_total") * 0.5) / F.col("_n_langs"))
+    rate = F.round(
+        F.least(F.lit(1.0), target / F.col("lang_tokens")), 6
+    )
+    return j.select(
+        "lang",
+        "lang_tokens",
+        rate.alias("rate"),
+        F.floor(rate * F.col("lang_tokens")).cast("bigint").alias("expected_tokens"),
+    )
+
+
 def q_corpus_shuffle(spark, sf_dir):
     """Deterministic training-export shuffle (operators/scan.shard_shuffle):
     every document gets a (shard, pos) slot from the engine-portable
@@ -1384,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "source_stats": q_source_stats,
         "corpus_shuffle": q_corpus_shuffle,
+        "mixture_weights": q_mixture_weights,
     }
 
 
@@ -2248,6 +2280,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 6) AS avg_chars,
                    COUNT(DISTINCT lang) AS n_langs
             FROM t GROUP BY source
+        """,
+        "mixture_weights": f"""
+            WITH per AS (
+                SELECT lang,
+                       CAST(SUM(len({_TOKENS_SQL.format(s='text')})) AS BIGINT) AS lang_tokens
+                FROM documents GROUP BY lang
+            ),
+            tot AS (
+                SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total,
+                       COUNT(*) AS n_langs
+                FROM per
+            )
+            SELECT lang, lang_tokens,
+                   ROUND(LEAST(1.0, FLOOR(FLOOR(total * 0.5) / n_langs) / lang_tokens), 6) AS rate,
+                   CAST(FLOOR(ROUND(LEAST(1.0, FLOOR(FLOOR(total * 0.5) / n_langs) / lang_tokens), 6) * lang_tokens) AS BIGINT) AS expected_tokens
+            FROM per, tot
         """,
         "corpus_shuffle": f"""
             WITH h AS (

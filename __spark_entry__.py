@@ -1342,7 +1342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # had a driver row swap with long-stable window entries, so every query
     # eventually earns a driver-green row (r5 rotation: map_agg, global_topn,
     # stratified_sample in; sessionize, topk_per_group, time_buckets — all
-    # driver-green r1-r4 — out to the tail).
+    # driver-green r1-r4 — out to the tail). r6 rotation candidates: the four
+    # r5-added tail queries (gopher_repetition, source_stats, corpus_shuffle,
+    # mixture_weights) plus value_percentiles/json_extract.
     return {
         # relational core
         "pricing_summary": q_pricing_summary,

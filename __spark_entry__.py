@@ -617,17 +617,9 @@ def _topgram_frac(d, n: int):
     count, then per-doc max/sum) -- all JVM-side, partial-aggregated
     map-side; no per-doc collect. Docs with < n tokens emit no row
     (no n-grams exist)."""
-    toks = tokens(F.col("text"))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ex = d.select("doc_id", F.explode(grams).alias("g"))
+    ex = d.select(
+        "doc_id", F.explode(_word_ngrams(tokens(F.col("text")), n)).alias("g")
+    )
     cnt = ex.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     return cnt.groupBy("doc_id").agg(
         F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
@@ -672,6 +664,43 @@ def q_source_stats(spark, sf_dir):
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
             F.countDistinct("lang").alias("n_langs"),
         )
+    )
+
+
+def _word_ngrams(toks, n: int):
+    """array<string> of space-joined word n-grams (empty when < n tokens)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3-style n-gram overlap scrub):
+    flag training documents sharing any word n-gram with the eval set, with
+    the count of distinct shared n-grams as evidence. The eval set here is
+    the deterministic doc_id%50==0 slice (a synthetic benchmark stand-in);
+    n=4 at test SF — production corpora use 8-13-gram windows, same plan.
+
+    Scale posture: the eval side's distinct n-gram set is benchmark-sized
+    and BROADCASTS; training-doc n-grams stream through the broadcast hash
+    join with zero corpus shuffle, and only the (rare) matching (doc,
+    gram) pairs reach the count-distinct aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(_word_ngrams(tokens(F.col("text")), 4)).alias("g")
+    )
+    ev = grams.where(F.col("doc_id") % 50 == 0).select("g").distinct()
+    return (
+        grams.where(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hits"))
     )
 
 
@@ -1418,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "corpus_shuffle": q_corpus_shuffle,
         "mixture_weights": q_mixture_weights,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2282,6 +2312,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 6) AS avg_chars,
                    COUNT(DISTINCT lang) AS n_langs
             FROM t GROUP BY source
+        """,
+        "decontaminate": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKENS_SQL.format(s='text')} AS toks FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+                FROM t WHERE len(toks) >= 4
+            ),
+            ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
+            SELECT doc_id, CAST(COUNT(DISTINCT g.g) AS BIGINT) AS n_hits
+            FROM g JOIN ev USING (g)
+            WHERE doc_id % 50 <> 0
+            GROUP BY doc_id
         """,
         "mixture_weights": f"""
             WITH per AS (

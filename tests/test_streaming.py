@@ -143,3 +143,76 @@ def test_streaming_kg_pipeline_matches_batch(spark, corpus_dfs, tmp_path):
         assert got == want and len(got) > 0
     finally:
         pipe.cleanup()
+
+
+def test_streaming_dirty_batches_reuse_fuzzy_dictionary(spark, corpus_dfs, tmp_path):
+    """Two dirty micro-batches (each with out-of-dictionary typo'd surfaces)
+    stream through ONE pipeline: the dictionary-side LSH tables are staged
+    exactly once across the whole stream (2 dict stages + 1 mention stage
+    per batch — a per-batch rebuild would add 2 more), and the streamed
+    triple set equals the batch pipeline over the same dirty corpus."""
+    from datetime import datetime
+
+    from gtfsrt2lc_spark.fixtures.pages import PREDICATES, _render_page
+    from gtfsrt2lc_spark.plans.kg_pipeline import KGPipeline
+    from gtfsrt2lc_spark.streaming.pages import (
+        read_stream_triples,
+        stream_pages_to_triples,
+    )
+
+    pages, records, surfaces, sameas = corpus_dfs
+
+    def typo_slice(url, sentence, sec):
+        rows = [(
+            url,
+            datetime(2024, 6, 1, 0, 0, sec),
+            _render_page(url, "dirty.example.net", "en", [sentence], False).encode("utf-8"),
+            None,
+            "en",
+        )]
+        return spark.createDataFrame(rows, pages.schema)
+
+    half_a = pages.where(F.crc32(F.col("url")) % 2 == 0).unionByName(
+        typo_slice("https://dirty.example.net/s/1", "Ada Lovelacee works for Acme Corp.", 1)
+    )
+    half_b = pages.where(F.crc32(F.col("url")) % 2 == 1).unionByName(
+        typo_slice("https://dirty.example.net/s/2", "Alan Turing works for Stark Industres.", 2)
+    )
+
+    preds = {ph: loc for ph, (loc, _, _) in PREDICATES.items()}
+    batch_pipe = KGPipeline(records, surfaces, sameas, preds)
+    try:
+        want = {
+            (r["subj"], r["pred"], r["obj"])
+            for r in batch_pipe.triples(half_a.unionByName(half_b))
+            .select("subj", "pred", "obj").collect()
+        }
+    finally:
+        batch_pipe.cleanup()
+
+    src = str(tmp_path / "pages_src")
+    half_a.coalesce(1).write.parquet(f"{src}/a")
+    half_b.coalesce(1).write.parquet(f"{src}/b")
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipe = KGPipeline(records, surfaces, sameas, preds)
+    try:
+        q = stream_pages_to_triples(
+            stream, pipe, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["subj"], r["pred"], r["obj"])
+            for r in read_stream_triples(spark, str(tmp_path / "out"))
+            .select("subj", "pred", "obj").collect()
+        }
+        assert got == want and len(got) > 0
+        assert pipe._fuzzy_dict is not None  # both batches were dirty
+        # 2 batches x 1 mention stage + 2 one-time dictionary stages
+        assert len(pipe._scratch) == 4
+    finally:
+        pipe.cleanup()

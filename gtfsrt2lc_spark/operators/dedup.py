@@ -205,6 +205,30 @@ def _with_minhash_bands(
     )
 
 
+def _cap_band_buckets(bands_df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Drop band/bucket groups larger than ``cap`` (hot-band guard).
+
+    A banded candidate SELF-join is quadratic in the bucket size: one
+    degenerate bucket (boilerplate-heavy shingles, near-constant vectors)
+    of size m proposes m^2/2 candidate pairs — AQE's skew-join splits the
+    work across tasks but cannot shrink it. Same discipline as
+    ``linking.FuzzyDictionary(max_band_size=...)``: a window count over the
+    NARROW band frame, no collect, no broadcast assumption. Recall
+    trade-off: pairs whose ONLY shared buckets are dropped hot buckets are
+    never proposed — but a bucket shared by >cap documents is mostly
+    boilerplate collision, and pairs also sharing any healthy bucket are
+    unaffected. ``cap=None`` (the default on the pair generators) keeps
+    exact output for oracle parity; web-scale callers set a cap."""
+    if cap is None:
+        return bands_df
+    wb = Window.partitionBy(*keys)
+    return (
+        bands_df.withColumn("_bc", F.count(F.lit(1)).over(wb))
+        .where(F.col("_bc") <= cap)
+        .drop("_bc")
+    )
+
+
 def neardup_pairs_minhash(
     df: DataFrame,
     id_col: str,
@@ -213,6 +237,7 @@ def neardup_pairs_minhash(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     seed: int = 42,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for near-duplicate pairs, doc_a < doc_b.
 
@@ -229,8 +254,15 @@ def neardup_pairs_minhash(
     the exploded hashes would yield, but computed as a narrow projection with
     no aggregation. Verified identical output by the full-arithmetic
     `minhash_neardup` oracle and a plan-shape guard (tests/test_dedup.py).
+
+    ``max_band_size`` bounds band buckets before the self-join (the
+    hot-band quadratic guard, see ``_cap_band_buckets``); None = exact.
     """
-    b = _with_minhash_bands(df, id_col, text_col, n_hashes, bands, seed)
+    b = _cap_band_buckets(
+        _with_minhash_bands(df, id_col, text_col, n_hashes, bands, seed),
+        ["band_id", "band_val"],
+        max_band_size,
+    )
     cand = (
         b.select(F.col("doc").alias("doc_a"), "band_id", "band_val")
         .join(b.select(F.col("doc").alias("doc_b"), "band_id", "band_val"),
@@ -305,6 +337,7 @@ def neardup_pairs_embedding(
     n_bits: int = 6,
     n_tables: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) for embedding near-duplicate pairs, id_a < id_b.
 
@@ -320,7 +353,10 @@ def neardup_pairs_embedding(
     Shuffle discipline (lsh path): the bucket self-join replicates every row
     x n_tables, so it runs on the NARROW (id, table_id, bucket) frame; the
     vectors join back to the deduped candidate pairs, shuffling each vector
-    at most once per side instead of x n_tables.
+    at most once per side instead of x n_tables. ``max_bucket_size`` bounds
+    (table, bucket) groups before the self-join (hot-bucket quadratic
+    guard — near-constant embedding clusters; see ``_cap_band_buckets``);
+    None = exact.
     """
     from gtfsrt2lc_spark.operators.similarity import (
         _bucket_structs,
@@ -347,6 +383,7 @@ def neardup_pairs_embedding(
                 "id", F.col("b.table_id").alias("table_id"), F.col("b.bucket").alias("bucket")
             )
         )
+        hashed = _cap_band_buckets(hashed, ["table_id", "bucket"], max_bucket_size)
         cand = (
             hashed.select(F.col("id").alias("id_a"), "table_id", "bucket")
             .join(hashed.select(F.col("id").alias("id_b"), "table_id", "bucket"),

@@ -115,6 +115,24 @@ class FuzzyDictionary:
     ``prepped``; callers may re-point ``bands_df`` / ``shingled`` at a
     staged (parquet) or persisted copy so later batches scan instead of
     recomputing (KGPipeline does exactly that).
+
+    Hot-band cap (``max_band_size``): the candidate join is
+    ``q_bands ⋈ bands_df`` on the band signature, so one degenerate band
+    bucket — millions of short or near-identical surfaces collapsing to
+    the same MinHash signature at a 100x-skewed KB — makes the candidate
+    set |q_band|x|d_band|: a quadratic blowup AQE's skew-join can split
+    across tasks but cannot shrink. Because the dictionary side is static
+    and built exactly once, band frequencies are counted here at build
+    time and buckets larger than the cap are DROPPED from the band table
+    (one extra shuffle of the narrow (surface, band) frame, amortized over
+    every later batch). Recall trade-off, by design: a (query, dict) pair
+    whose ONLY colliding bands are dropped hot bands is never proposed —
+    but a band shared by >cap dictionary surfaces carries almost no
+    discriminating signal (any query hitting it would score against the
+    whole bucket), so the pairs lost are overwhelmingly low-Jaccard noise;
+    pairs also colliding on any healthy band are unaffected. Set
+    ``max_band_size=None`` to disable the cap (exact reference-parity
+    fixtures; never at web scale).
     """
 
     def __init__(
@@ -123,13 +141,26 @@ class FuzzyDictionary:
         n_hashes: int = 16,
         bands: int = 8,
         seed: int = 42,
+        max_band_size: int | None = 1000,
     ) -> None:
         self.n_hashes = n_hashes
         self.bands = bands
         self.seed = seed
+        self.max_band_size = max_band_size
         self._perms = minhash_perms(n_hashes, seed=seed)
         dic = resolve_dictionary(dictionary)
-        self.bands_df = _prep_bands(dic, "d", self._perms, bands)
+        bands_df = _prep_bands(dic, "d", self._perms, bands)
+        if max_band_size is not None:
+            # window count over the NARROW band frame: one keyed shuffle at
+            # build time, no collect, no broadcast-size assumption about how
+            # many bands run hot
+            wb = Window.partitionBy("band")
+            bands_df = (
+                bands_df.withColumn("_bc", F.count(F.lit(1)).over(wb))
+                .where(F.col("_bc") <= max_band_size)
+                .drop("_bc")
+            )
+        self.bands_df = bands_df
         self.shingled = dic.select(
             F.col("surface").alias("surface_d"),
             F.col("record_id"),
@@ -140,11 +171,12 @@ class FuzzyDictionary:
 def link_fuzzy(
     surfaces_q: DataFrame,
     dictionary: DataFrame | None,
-    n_hashes: int = 16,
-    bands: int = 8,
+    n_hashes: int | None = None,
+    bands: int | None = None,
     jaccard_threshold: float = 0.5,
-    seed: int = 42,
+    seed: int | None = None,
     prepped: FuzzyDictionary | None = None,
+    max_band_size: int | None = 1000,
 ) -> DataFrame:
     """Fuzzy-link distinct unmatched surfaces to dictionary entries.
 
@@ -157,7 +189,13 @@ def link_fuzzy(
     ``FuzzyDictionary``) to reuse the dictionary-side band/shingle tables
     across calls — its n_hashes/bands/seed govern the query side too, so
     both sides always hash identically; ``dictionary`` is ignored then and
-    may be None.
+    may be None. Explicitly passing n_hashes/bands/seed/max_band_size
+    alongside a mismatched ``prepped`` raises ValueError (a silently
+    ignored mismatch would link with the wrong hash parameters).
+
+    ``max_band_size`` caps dictionary-side band buckets (the hot-band
+    quadratic-blowup guard — see ``FuzzyDictionary``); it applies when
+    this call builds the dictionary tables itself.
 
     Shuffle discipline: the band join replicates every row x bands, so it
     runs on NARROW (key, band) frames only; shingle sets are recomputed
@@ -172,7 +210,29 @@ def link_fuzzy(
     if prepped is None:
         if dictionary is None:
             raise ValueError("link_fuzzy needs either dictionary or prepped")
-        prepped = FuzzyDictionary(dictionary, n_hashes=n_hashes, bands=bands, seed=seed)
+        prepped = FuzzyDictionary(
+            dictionary,
+            n_hashes=16 if n_hashes is None else n_hashes,
+            bands=8 if bands is None else bands,
+            seed=42 if seed is None else seed,
+            max_band_size=max_band_size,
+        )
+    else:
+        mismatched = {
+            name: (want, got)
+            for name, want, got in (
+                ("n_hashes", n_hashes, prepped.n_hashes),
+                ("bands", bands, prepped.bands),
+                ("seed", seed, prepped.seed),
+            )
+            if want is not None and want != got
+        }
+        if mismatched:
+            raise ValueError(
+                "link_fuzzy: explicit hash params contradict the supplied "
+                f"FuzzyDictionary (param: (passed, prepped)): {mismatched}; "
+                "rebuild the dictionary with these params or drop them"
+            )
     qd = surfaces_q.select("surface").distinct()
     q = _prep_bands(qd, "q", prepped._perms, prepped.bands)
 

@@ -53,6 +53,7 @@ class KGPipeline:
         predicates: dict[str, str],
         fuzzy: bool = True,
         fuzzy_threshold: float = 0.5,
+        fuzzy_max_band_size: int | None = 1000,
         max_local_surfaces: int | None = 1_000_000,
         max_local_dictionary: int | None = 2_000_000,
         broadcast_dups: bool = True,
@@ -64,6 +65,11 @@ class KGPipeline:
         self.predicates = predicates
         self.fuzzy = fuzzy
         self.fuzzy_threshold = fuzzy_threshold
+        # hot-band ceiling for the dictionary-side LSH tables: a skewed
+        # 100x KB (millions of near-identical surfaces sharing a MinHash
+        # band) would otherwise make one band bucket quadratic in the
+        # candidate join (operators/linking.FuzzyDictionary docstring)
+        self.fuzzy_max_band_size = fuzzy_max_band_size
         # latest-wins dedup escape hatch: a corpus whose RE-CRAWLED key set
         # is itself too large to broadcast (billions of dup urls) sets this
         # False and takes one payload shuffle instead of a possible
@@ -197,7 +203,9 @@ class KGPipeline:
         if self._fuzzy_dict is None:
             from gtfsrt2lc_spark.operators.linking import FuzzyDictionary
 
-            fd = FuzzyDictionary(self.surfaces)
+            fd = FuzzyDictionary(
+                self.surfaces, max_band_size=self.fuzzy_max_band_size
+            )
             fd.bands_df = self._stage(fd.bands_df)
             fd.shingled = self._stage(fd.shingled)
             self._fuzzy_dict = fd

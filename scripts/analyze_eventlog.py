@@ -97,6 +97,10 @@ def parse_eventlog(path: str) -> tuple[list[dict], int | None, int | None]:
         except json.JSONDecodeError:
             continue
         e = ev.get("Event")
+        if not e:
+            # valid JSON without an "Event" key (ADVICE r5: the endswith
+            # dispatch below would AttributeError on None and kill the run)
+            continue
         if e == "SparkListenerApplicationStart":
             app_start = ev["Timestamp"]
         elif e == "SparkListenerApplicationEnd":
@@ -170,18 +174,25 @@ def payload_shuffle_audit(
     for these parquet scans (the r05 spin1 artifact flagged healthy 2% digest
     shuffles against a 2 MB phantom denominator on a 2 GB corpus), so callers
     that know the corpus size on disk MUST pass ``scan_bytes``; the audit uses
-    whichever of (summed task input metrics, scan_bytes) is larger and records
-    which one it trusted. With neither available nothing can be flagged, and
-    the artifact says so (``no_denominator``) instead of silently passing.
+    whichever of (max SINGLE-STAGE task input, scan_bytes) is larger and
+    records which one it trusted. The max single stage — not the cross-stage
+    SUM (ADVICE r5): summed task input double-counts staged-parquet re-reads
+    and warmup scans, and an inflated denominator can push a real payload
+    shuffle under the threshold and silently weaken the regression gate. Both
+    values land in the artifact for forensics. With no denominator available
+    nothing can be flagged, and the artifact says so (``no_denominator``)
+    instead of silently passing.
 
-    Returns {"denominator_bytes", "denominator_source", "task_input_bytes",
-    "scan_bytes", "max_shuffle_write_bytes", "flagged": [stage dicts]};
-    callers fail loudly when flagged is non-empty."""
-    task_input = sum(s.get("input", 0) for s in stages)
-    denom = max(task_input, scan_bytes or 0)
+    Returns {"denominator_bytes", "denominator_source", "task_input_bytes"
+    (cross-stage sum, recorded only), "max_stage_input_bytes", "scan_bytes",
+    "max_shuffle_write_bytes", "flagged": [stage dicts]}; callers fail
+    loudly when flagged is non-empty."""
+    task_input_sum = sum(s.get("input", 0) for s in stages)
+    max_stage_input = max((s.get("input", 0) for s in stages), default=0)
+    denom = max(max_stage_input, scan_bytes or 0)
     source = (
         "none" if denom == 0
-        else "task_input_metrics" if task_input >= (scan_bytes or 0)
+        else "max_stage_input_metrics" if max_stage_input >= (scan_bytes or 0)
         else "corpus_scan_bytes"
     )
     flagged = [
@@ -196,7 +207,8 @@ def payload_shuffle_audit(
     return {
         "denominator_bytes": denom,
         "denominator_source": source,
-        "task_input_bytes": task_input,
+        "task_input_bytes": task_input_sum,
+        "max_stage_input_bytes": max_stage_input,
         "scan_bytes": scan_bytes,
         "no_denominator": denom == 0,
         "max_shuffle_write_bytes": max(

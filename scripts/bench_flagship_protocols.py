@@ -94,6 +94,13 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=5)
     ap.add_argument("--dirty-frac", type=float, default=0.02)
     ap.add_argument("--out-name", default="flagship_protocols_r05.json")
+    ap.add_argument("--forensics", action="store_true",
+                    help="event-log the whole session and attach a per-variant "
+                         "payload-shuffle audit (same detector as "
+                         "bench_scaling.py --forensics): without this, a "
+                         "payload-shuffle regression in the distributed "
+                         "variants would be invisible until a scaling spin")
+    ap.add_argument("--forensics-threshold", type=float, default=0.3)
     args = ap.parse_args()
 
     try:
@@ -103,10 +110,21 @@ def main() -> None:
 
     from gtfsrt2lc_spark.session import get_spark
 
+    evdir = None
+    extra_conf = {}
+    if args.forensics:
+        import tempfile as _tf
+
+        evdir = _tf.mkdtemp(prefix="flagship_ev_")
+        extra_conf = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+        }
     spark = get_spark(
         app_name="flagship_protocols",
         master=f"local[{args.cpus}]",
         shuffle_partitions=args.cpus,
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -148,26 +166,46 @@ def main() -> None:
             rewarm_fuzzy=rewarm_fuzzy,
         )
 
+    # per-variant epoch-ms windows so the event-log audit attributes stages
+    # to the variant that ran them (one session runs all five)
+    windows: dict[str, tuple[int, int]] = {}
+
+    def windowed(name, fn):
+        w0 = int(time.time() * 1000)
+        out = fn()
+        windows[name] = (w0, int(time.time() * 1000))
+        return out
+
     pipe = KGPipeline(records, surfaces, sameas, preds)
-    staged = variant(pipe, pages_staged)
-    localrel = _timed_passes(pipe, pages_local, args.passes)
+    staged = windowed("staged", lambda: variant(pipe, pages_staged))
+    localrel = windowed(
+        "local_relation", lambda: _timed_passes(pipe, pages_local, args.passes)
+    )
 
     # miss>0: the probe runs and the driver-side fuzzy patch executes
     pipe_dirty = KGPipeline(records, surfaces, sameas, preds)
-    dirty = variant(pipe_dirty, pages_dirty, rewarm_fuzzy=True)
+    dirty = windowed(
+        "dirty_staged", lambda: variant(pipe_dirty, pages_dirty, rewarm_fuzzy=True)
+    )
 
     # 100 TB path A: unmatched surfaces never collected (distributed fuzzy)
     pipe_dist = KGPipeline(
         records, surfaces, sameas, preds, max_local_surfaces=0
     )
-    dist_fuzzy = variant(pipe_dist, pages_dirty, rewarm_fuzzy=True)
+    dist_fuzzy = windowed(
+        "distributed_fuzzy",
+        lambda: variant(pipe_dist, pages_dirty, rewarm_fuzzy=True),
+    )
 
     # 100 TB path B: the DICTIONARY never collected (distributed exact+fuzzy
     # mapping; canonical map staged, not broadcast)
     pipe_dict = KGPipeline(
         records, surfaces, sameas, preds, max_local_dictionary=0
     )
-    dist_dict = variant(pipe_dict, pages_dirty, rewarm=True, rewarm_fuzzy=True)
+    dist_dict = windowed(
+        "distributed_dictionary",
+        lambda: variant(pipe_dict, pages_dirty, rewarm=True, rewarm_fuzzy=True),
+    )
 
     result = {
         "n_pages_staged": n_docs,
@@ -190,10 +228,61 @@ def main() -> None:
         "docs_per_sec_distributed_fuzzy": round(n_docs_dirty / min(dist_fuzzy), 1),
         "docs_per_sec_distributed_dictionary": round(n_docs_dirty / min(dist_dict), 1),
     }
+
+    if args.forensics:
+        # stop the session first: EventLoggingListener buffers ~100 KB and
+        # only closes/renames the log at application end
+        spark.stop()
+        import glob as _glob
+
+        from scripts.analyze_eventlog import parse_eventlog, payload_shuffle_audit
+
+        def _dir_bytes(d):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _dd, fs in os.walk(d) for f in fs
+            )
+
+        staged_dir = os.path.join(
+            tempfile.gettempdir(), f"kgbench_pages_{args.n_pages}_s42"
+        )  # bench._stage_pages keying
+        staged_bytes = _dir_bytes(staged_dir) if os.path.exists(staged_dir) else None
+        dirty_bytes = _dir_bytes(dirty_dir)
+        scan_bytes_by_variant = {
+            "staged": staged_bytes or dirty_bytes,
+            "local_relation": staged_bytes or dirty_bytes,
+            "dirty_staged": dirty_bytes,
+            "distributed_fuzzy": dirty_bytes,
+            "distributed_dictionary": dirty_bytes,
+        }
+        log = max(_glob.glob(os.path.join(evdir, "*")), key=os.path.getmtime)
+        stages, _a0, _a1 = parse_eventlog(log)
+        audits = {}
+        flagged_any = False
+        for name, (w0, w1) in windows.items():
+            in_window = [
+                s for s in stages if s.get("t0") and w0 <= s["t0"] <= w1
+            ]
+            audit = payload_shuffle_audit(
+                in_window, args.forensics_threshold,
+                scan_bytes=scan_bytes_by_variant[name],
+            )
+            audits[name] = audit
+            if audit["flagged"]:
+                flagged_any = True
+                sys.stderr.write(
+                    f"FORENSICS: payload shuffle in variant {name}: "
+                    f"{json.dumps(audit['flagged'])}\n"
+                )
+        result["shuffle_audit"] = audits
+        result["forensics_flagged"] = flagged_any
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", args.out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
+    if args.forensics and flagged_any:
+        sys.exit(1)  # fail loudly: a payload is transiting an exchange
 
 
 if __name__ == "__main__":

@@ -79,24 +79,34 @@ def corpus_stats(corpus: str) -> dict:
     """MEASURED corpus provenance for the artifact (round-4 verdict: the old
     artifact recorded the unused --n-pages CLI default, claiming 1M pages over
     a 2.08M-doc staging). Row count + distinct urls come from the parquet
-    itself (duckdb, no Spark session needed); bytes from the filesystem."""
-    import duckdb
-
-    pages_glob = os.path.join(corpus, "pages", "*.parquet")
-    n_rows, n_urls = duckdb.sql(
-        f"SELECT count(*), count(DISTINCT url) FROM read_parquet('{pages_glob}')"
-    ).fetchone()
+    itself (duckdb when available, no Spark session needed); bytes from the
+    filesystem. duckdb is OPTIONAL (ADVICE r5): a host without it still gets
+    filesystem-only stats with a provenance note, instead of the whole
+    scaling run dying before any Spark work."""
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))
         for root, _dirs, files in os.walk(corpus)
         for f in files
     )
-    return {
-        "corpus": corpus,
-        "page_rows": n_rows,
-        "distinct_urls": n_urls,
-        "parquet_bytes": total_bytes,
-    }
+    stats = {"corpus": corpus, "parquet_bytes": total_bytes}
+    try:
+        import duckdb
+
+        pages_glob = os.path.join(corpus, "pages", "*.parquet")
+        n_rows, n_urls = duckdb.sql(
+            f"SELECT count(*), count(DISTINCT url) FROM read_parquet('{pages_glob}')"
+        ).fetchone()
+        stats.update({"page_rows": n_rows, "distinct_urls": n_urls})
+    except ImportError:
+        n_files = sum(len(files) for _r, _d, files in os.walk(corpus))
+        stats.update({
+            "page_rows": None,
+            "distinct_urls": None,
+            "n_files": n_files,
+            "provenance_note": "duckdb unavailable: filesystem-only stats "
+                               "(bytes + file count); row counts unmeasured",
+        })
+    return stats
 
 
 def run_once(
@@ -173,6 +183,10 @@ def main() -> None:
                          "payload-leaked-into-an-exchange signature that broke "
                          "round-4 scaling")
     ap.add_argument("--forensics-threshold", type=float, default=0.3)
+    ap.add_argument("--max-local-dictionary", type=int, default=None,
+                    help="forwarded to submit_pipeline.py / KGPipeline: 0 "
+                         "forces the fully distributed dictionary path (the "
+                         "100x-KB posture) through the N->4N protocol")
     args = ap.parse_args()
 
     staged_here = False
@@ -193,6 +207,10 @@ def main() -> None:
     results = {"corpus_stats": corpus_stats(corpus), "pinned": args.pin, "runs": []}
     if staged_here:
         results["staging_args"] = {"n_pages": args.n_pages}
+    extra_args = []
+    if args.max_local_dictionary is not None:
+        extra_args += ["--max-local-dictionary", str(args.max_local_dictionary)]
+        results["max_local_dictionary"] = args.max_local_dictionary
     tp: dict[int, list[float]] = {args.n: [], args.n * 4: []}
     flagged_any = False
     # INTERLEAVE the two levels (N, 4N, N, 4N, ...): shared-host throttle
@@ -204,7 +222,8 @@ def main() -> None:
         for cores in (args.n, args.n * 4):
             off = round(time.monotonic() - t_start, 1)
             evdir = tempfile.mkdtemp(prefix="kg_scale_ev_") if args.forensics else None
-            r = run_once(cores, corpus, zip_path, pin=args.pin, eventlog_dir=evdir)
+            r = run_once(cores, corpus, zip_path, pin=args.pin,
+                         eventlog_dir=evdir, extra_args=extra_args)
             r["t_offset_sec"] = off
             if evdir is not None:
                 import glob as _glob

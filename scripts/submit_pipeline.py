@@ -27,6 +27,10 @@ def main() -> None:
                     help="latest-wins dedup escape hatch (billion-dup-key "
                          "corpora): winner selection via payload shuffle "
                          "instead of the broadcast dup-stats join")
+    ap.add_argument("--max-local-dictionary", type=int, default=None,
+                    help="KGPipeline dictionary cap; 0 = never collect the "
+                         "dictionary (fully distributed exact+fuzzy mapping, "
+                         "the 100x-KB posture). Default: pipeline default (2M)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,9 +53,13 @@ def main() -> None:
     sameas = spark.read.parquet(os.path.join(args.corpus, "sameas"))
     n_docs = pages.select("url").distinct().count()  # input materialization, untimed
 
+    pipe_kwargs = {}
+    if args.max_local_dictionary is not None:
+        pipe_kwargs["max_local_dictionary"] = args.max_local_dictionary
     pipe = KGPipeline(records, surfaces, sameas,
                       {ph: loc for ph, (loc, _, _) in PREDICATES.items()},
-                      broadcast_dups=not args.no_broadcast_dups)
+                      broadcast_dups=not args.no_broadcast_dups,
+                      **pipe_kwargs)
     pipe.canonical_map()  # KB prep amortized across runs, untimed
     if args.warmup:
         pipe.triples(pages.where(F.pmod(F.xxhash64("url"), F.lit(100)) == 0)).count()

@@ -82,7 +82,7 @@ def test_audit_passes_digest_only_shuffles(tmp_path):
     audit = payload_shuffle_audit(stages, threshold_frac=0.3)
     assert audit["flagged"] == []
     assert audit["denominator_bytes"] == 1_000_000_000
-    assert audit["denominator_source"] == "task_input_metrics"
+    assert audit["denominator_source"] == "max_stage_input_metrics"
 
 
 def test_audit_flags_payload_shuffle(tmp_path):
@@ -152,3 +152,38 @@ def test_parse_eventlog_attaches_job_callsites(tmp_path):
     stages, _, _ = parse_eventlog(log)
     assert stages[0]["callsite"] == (
         "collect at gtfsrt2lc_spark/operators/dedup.py:55")
+
+
+def test_audit_denominator_is_max_single_stage_not_sum(tmp_path):
+    # ADVICE r5: summed task input double-counts staged-parquet re-reads —
+    # three stages each re-reading the same 1 GB sum to 3 GB, and a real
+    # 500 MB payload shuffle (50% of the true scan) would hide at 17% of
+    # the inflated denominator. The max single stage keeps the gate honest.
+    log = _write_log(tmp_path, [
+        _task_end(0, input_bytes=1_000_000_000),
+        _stage_done(0, "scan pages"),
+        _task_end(1, input_bytes=1_000_000_000),
+        _stage_done(1, "re-read stage parquet"),
+        _task_end(2, input_bytes=1_000_000_000, shuffle_write=500_000_000),
+        _stage_done(2, "sort merge join html"),
+    ])
+    stages, _, _ = parse_eventlog(log)
+    audit = payload_shuffle_audit(stages, threshold_frac=0.3)
+    assert audit["denominator_bytes"] == 1_000_000_000
+    assert audit["task_input_bytes"] == 3_000_000_000  # recorded, not trusted
+    assert audit["max_stage_input_bytes"] == 1_000_000_000
+    assert len(audit["flagged"]) == 1
+    assert audit["flagged"][0]["input_frac"] == 0.5
+
+
+def test_parse_eventlog_tolerates_eventless_json_lines(tmp_path):
+    # ADVICE r5: a valid-JSON line without an "Event" key used to
+    # AttributeError on None.endswith and kill the whole forensics run
+    log = _write_log(tmp_path, [
+        {"some": "metadata line", "Event": None},
+        {"no_event_key": True},
+        _task_end(0, input_bytes=5, shuffle_write=1),
+        _stage_done(0, "scan"),
+    ])
+    stages, _, _ = parse_eventlog(log)
+    assert len(stages) == 1

@@ -58,11 +58,21 @@ def decontaminate_at_n(spark, sf_dir: str, n: int):
     )
 
 
-def codegen_evidence(df) -> dict:
-    """Subtree count + max generated-code size from explain('codegen')."""
+def codegen_evidence(spark, build_df) -> dict:
+    """Subtree count + max generated-code size from explain('codegen').
+
+    AQE wraps the plan in AdaptiveSparkPlan, under which debugCodegen
+    finds zero subtrees before execution — so the probe builds the plan
+    with AQE off (codegen itself is identical; AQE only re-plans exchanges
+    at runtime) and restores the setting after."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
     buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("codegen")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        with contextlib.redirect_stdout(buf):
+            build_df().explain("codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
     text = buf.getvalue()
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
     n_subtrees = int(m.group(1)) if m else 0
@@ -98,7 +108,8 @@ def main() -> None:
     for n in (4, 8, 13):
         df = decontaminate_at_n(spark, args.sf_dir, n)
         t_plan0 = time.monotonic()
-        ev = codegen_evidence(df)  # forces full analysis+codegen of the plan
+        # forces full analysis + code generation of the (non-AQE) plan
+        ev = codegen_evidence(spark, lambda: decontaminate_at_n(spark, args.sf_dir, n))
         plan_sec = round(time.monotonic() - t_plan0, 3)
         df.count()  # warm, untimed
         raw = []

@@ -29,6 +29,7 @@ from gtfsrt2lc_spark.functions.hashing import (
     simhash32,
     token_hashes,
     tokens,
+    word_ngram_hashes,
 )
 from gtfsrt2lc_spark.functions.iri import slug
 from gtfsrt2lc_spark.operators.dedup import exact_dup_groups, neardup_pairs_minhash
@@ -616,9 +617,13 @@ def _topgram_frac(d, n: int):
     Distributed shape: explode n-grams -> two-level aggregation (per-gram
     count, then per-doc max/sum) -- all JVM-side, partial-aggregated
     map-side; no per-doc collect. Docs with < n tokens emit no row
-    (no n-grams exist)."""
+    (no n-grams exist). Gram keys are 64-bit `word_ngram_hashes`, not
+    strings: no concat per gram, and the (doc_id, gram) count shuffle
+    moves 8-byte longs. The fractions are identical to string grouping
+    absent a 2^-64 xxhash64 collision; the DuckDB twin groups the gram
+    strings, and tests/test_decontaminate.py pins the equivalence."""
     ex = d.select(
-        "doc_id", F.explode(_word_ngrams(tokens(F.col("text")), n)).alias("g")
+        "doc_id", F.explode(word_ngram_hashes(tokens(F.col("text")), n)).alias("g")
     )
     cnt = ex.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     return cnt.groupBy("doc_id").agg(
@@ -701,6 +706,35 @@ def q_decontaminate(spark, sf_dir):
         .join(F.broadcast(ev), "g")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_hits"))
+    )
+
+
+def q_decontaminate_hashed(spark, sf_dir):
+    """`decontaminate` over 64-bit gram keys instead of gram strings — the
+    production-n fast path. Same plan shape (eval-side distinct keys
+    broadcast, training keys streamed through the broadcast hash join, per-
+    doc countDistinct), but each n-gram is `xxhash64(w_i..w_{i+n-1})`
+    rather than a concatenated string, so the explode/distinct/broadcast/
+    join all move 8-byte longs. At n=13 (production window) that removes
+    the O(n * word_len) concat per gram and shrinks the broadcast ~10x.
+
+    Oracle: the SAME string-gram DuckDB SQL as `decontaminate` — the hash
+    never reaches the output, and countDistinct over keys equals
+    countDistinct over grams absent a 2^-64 xxhash64 collision (see
+    `word_ngram_hashes`). n=4 here to match the oracle; n in {8, 13} is
+    benchmarked in scripts/bench_decontaminate_ngrams.py.
+    """
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(word_ngram_hashes(tokens(F.col("text")), 4)).alias("gk"),
+    )
+    ev = grams.where(F.col("doc_id") % 50 == 0).select("gk").distinct()
+    return (
+        grams.where(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(ev), "gk")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gk").alias("n_hits"))
     )
 
 
@@ -1450,6 +1484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_decode": q_enum_decode,
         "date_format": q_date_format,
         "duration_parse": q_duration_parse,
+        # added r6 (tail; rotation candidate for r7): hashed-gram-key
+        # decontamination fast path — oracle is decontaminate's string SQL
+        "decontaminate_hashed": q_decontaminate_hashed,
     }
 
 
@@ -2751,6 +2788,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM ranked GROUP BY doc
     """
+    # Hashed-key decontamination shares the string-gram oracle: the 64-bit
+    # gram key never reaches the output, so n_hits over keys == n_hits over
+    # gram strings (absent a 2^-64 xxhash64 collision).
+    sql["decontaminate_hashed"] = sql["decontaminate"]
     return sql
 
 

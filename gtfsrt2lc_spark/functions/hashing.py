@@ -97,3 +97,31 @@ def simhash32(hashes: Column) -> Column:
 def hamming32(a: Column, b: Column) -> Column:
     """Hamming distance between two 32-bit simhashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def word_ngram_hashes(toks: Column, n: int) -> Column:
+    """array<bigint>: one 64-bit key per word n-gram, no gram string built.
+
+    Key = xxhash64(w_i, ..., w_{i+n-1}) over the n token columns directly.
+    At production n-gram sizes (8-13, GPT-3 appx. C style decontamination)
+    this replaces an O(n * word_len) concat per gram with n element_at
+    lookups and one native hash, and every downstream distinct / broadcast
+    / join moves 8-byte longs instead of ~80-byte strings. Tokens contain
+    no whitespace (see ``tokens``), so distinct grams map to distinct keys
+    up to xxhash64's 2^-64 collision rate.
+
+    EXCEPTION to this module's engine-reproducibility rule: xxhash64 is
+    Spark-native and NOT mirrorable in DuckDB — use this only where the
+    hash never reaches the output (e.g. decontamination, which counts
+    distinct grams per doc), so a string-gram oracle still verifies the
+    result exactly.
+    """
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))

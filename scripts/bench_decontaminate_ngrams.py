@@ -19,7 +19,13 @@ For each n in {4, 8, 13} it records:
     subtrees — a Janino/JIT blowup would show up as a huge subtree or a
     missing WholeStageCodegen wrap around the n-gram projection.
 
-Writes BENCH/decontaminate_ngrams_r06.json and prints it.
+Each n now runs TWO variants: "string" (concat_ws gram keys, the oracle
+shape) and "hashed" (`word_ngram_hashes` 64-bit xxhash64 keys, the
+production fast path) — same plan otherwise, so the delta isolates the
+gram-key representation cost.
+
+Writes BENCH/<out-name> (default decontaminate_ngrams_hashed_r06.json)
+and prints it.
 
 Usage: python scripts/bench_decontaminate_ngrams.py [--sf-dir /root/testdata/sf0.1]
 """
@@ -39,15 +45,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def decontaminate_at_n(spark, sf_dir: str, n: int):
+def decontaminate_at_n(spark, sf_dir: str, n: int, hashed: bool = False):
     from pyspark.sql import functions as F
 
     from __spark_entry__ import _word_ngrams
-    from gtfsrt2lc_spark.functions.hashing import tokens
+    from gtfsrt2lc_spark.functions.hashing import tokens, word_ngram_hashes
 
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    builder = word_ngram_hashes if hashed else _word_ngrams
     grams = d.select(
-        "doc_id", F.explode(_word_ngrams(tokens(F.col("text")), n)).alias("g")
+        "doc_id", F.explode(builder(tokens(F.col("text")), n)).alias("g")
     )
     ev = grams.where(F.col("doc_id") % 50 == 0).select("g").distinct()
     return (
@@ -92,7 +99,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(
         os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--passes", type=int, default=3)
-    ap.add_argument("--out-name", default="decontaminate_ngrams_r06.json")
+    ap.add_argument("--out-name", default="decontaminate_ngrams_hashed_r06.json")
     args = ap.parse_args()
 
     from gtfsrt2lc_spark.session import get_spark
@@ -104,30 +111,69 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pyspark.sql import functions as F
+
+    from gtfsrt2lc_spark.functions.hashing import tokens
+    from __spark_entry__ import _word_ngrams
+
     result = {"sf_dir": args.sf_dir, "cpus": args.cpus, "ns": {}}
     for n in (4, 8, 13):
-        df = decontaminate_at_n(spark, args.sf_dir, n)
-        t_plan0 = time.monotonic()
-        # forces full analysis + code generation of the (non-AQE) plan
-        ev = codegen_evidence(spark, lambda: decontaminate_at_n(spark, args.sf_dir, n))
-        plan_sec = round(time.monotonic() - t_plan0, 3)
-        df.count()  # warm, untimed
-        raw = []
-        rows = None
+        per = {"string": None, "hashed": None}
+        for hashed in (False, True):
+            variant = "hashed" if hashed else "string"
+            t_plan0 = time.monotonic()
+            # forces full analysis + code generation of the (non-AQE) plan
+            ev = codegen_evidence(
+                spark,
+                lambda: decontaminate_at_n(spark, args.sf_dir, n, hashed=hashed),
+            )
+            plan_sec = round(time.monotonic() - t_plan0, 3)
+            decontaminate_at_n(spark, args.sf_dir, n, hashed=hashed).count()  # warm
+            per[variant] = {
+                "raw_sec": [], "plan_compile_sec": plan_sec, **ev,
+            }
+        # passes INTERLEAVED string,hashed,string,hashed,... so host-speed
+        # drift on this shared VM hits both variants equally (the r6 first
+        # cut ran all string passes then all hashed and the drift swamped
+        # the comparison)
+        rows = {}
         for _ in range(args.passes):
-            t0 = time.monotonic()
-            rows = decontaminate_at_n(spark, args.sf_dir, n).count()
-            raw.append(round(time.monotonic() - t0, 3))
-        result["ns"][str(n)] = {
-            "raw_sec": raw,
-            "min_sec": min(raw),
-            "contaminated_docs": rows,
-            "plan_compile_sec": plan_sec,
-            **ev,
+            for hashed in (False, True):
+                variant = "hashed" if hashed else "string"
+                t0 = time.monotonic()
+                rows[variant] = decontaminate_at_n(
+                    spark, args.sf_dir, n, hashed=hashed
+                ).count()
+                per[variant]["raw_sec"].append(round(time.monotonic() - t0, 3))
+        # eval-side broadcast payload: distinct gram count and the bytes
+        # each representation broadcasts (strings vs 8-byte hashes) — the
+        # scale argument for the hashed path lives here, not in local wall
+        d = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+        g = d.select(
+            "doc_id", F.explode(_word_ngrams(tokens(F.col("text")), n)).alias("g")
+        )
+        st = (
+            g.where(F.col("doc_id") % 50 == 0).select("g").distinct()
+            .agg(F.count("*").alias("cnt"), F.sum(F.length("g")).alias("str_bytes"))
+            .collect()[0]
+        )
+        eval_stats = {
+            "eval_distinct_grams": st["cnt"],
+            "eval_broadcast_bytes_string": st["str_bytes"],
+            "eval_broadcast_bytes_hashed": 8 * st["cnt"],
         }
-        print(f"n={n}: min {min(raw)}s raw {raw} rows {rows} "
-              f"subtrees {ev['wholestage_subtrees']} "
-              f"max_code {ev['max_subtree_code_chars']}")
+        for variant in ("string", "hashed"):
+            raw = per[variant]["raw_sec"]
+            per[variant].update(
+                min_sec=min(raw),
+                median_sec=sorted(raw)[len(raw) // 2],
+                contaminated_docs=rows[variant],
+            )
+            print(f"n={n} {variant}: min {min(raw)}s raw {raw} "
+                  f"rows {rows[variant]} "
+                  f"subtrees {per[variant]['wholestage_subtrees']} "
+                  f"max_code {per[variant]['max_subtree_code_chars']}")
+        result["ns"][str(n)] = {**per, **eval_stats}
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", args.out_name), "w") as f:
         json.dump(result, f, indent=2)

@@ -325,3 +325,25 @@ def corpus_dataframes(spark, corpus: Corpus):
     )
     sameas = spark.createDataFrame(corpus.sameas, "src string, dst string")
     return pages, records, surfaces, sameas
+
+
+def dirty_pages(spark, schema, n_dirty: int):
+    """Pages whose fact sentences carry out-of-dictionary (typo'd) surfaces,
+    deterministically derived from the KB lists — guarantees the KG
+    pipeline's miss counter is non-zero so the fuzzy (MinHash-LSH) and
+    distributed linking branches actually execute under measurement. Typos
+    double the last letter of the subject surface (fuzzy-recoverable shape,
+    same as tests/test_pipeline_golden.py). Shared by the flagship-protocol
+    bench and the scaling protocol's --dirty-pages mode."""
+    rows = []
+    for i in range(n_dirty):
+        person = PEOPLE[i % len(PEOPLE)]
+        org = ORGS[i % len(ORGS)]
+        sent = f"{person}{person[-1]} works for {org}."
+        url = f"https://dirty.example.net/bench/{i}"
+        html = _render_page(url, "dirty.example.net", "en", [sent], False)
+        rows.append(
+            (url, datetime(2024, 6, 1) + timedelta(seconds=i),
+             html.encode("utf-8"), None, "en")
+        )
+    return spark.createDataFrame(rows, schema)

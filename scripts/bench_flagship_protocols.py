@@ -66,25 +66,11 @@ def _timed_passes(
 
 
 def _dirty_pages(spark, schema, n_dirty: int):
-    """Pages whose fact sentences carry out-of-dictionary (typo'd) surfaces,
-    deterministically derived from the KB lists — guarantees linked()'s miss
-    counter is non-zero so the fuzzy/distributed branches under measurement
-    actually execute. Typos double the last letter of the subject surface
-    (fuzzy-recoverable shape, same as tests/test_pipeline_golden.py)."""
-    from gtfsrt2lc_spark.fixtures.pages import ORGS, PEOPLE, _render_page
+    """Moved to gtfsrt2lc_spark.fixtures.pages.dirty_pages (shared with
+    bench_scaling's --dirty-pages mode); kept as a thin alias."""
+    from gtfsrt2lc_spark.fixtures.pages import dirty_pages
 
-    rows = []
-    for i in range(n_dirty):
-        person = PEOPLE[i % len(PEOPLE)]
-        org = ORGS[i % len(ORGS)]
-        sent = f"{person}{person[-1]} works for {org}."
-        url = f"https://dirty.example.net/bench/{i}"
-        html = _render_page(url, "dirty.example.net", "en", [sent], False)
-        rows.append(
-            (url, datetime(2024, 6, 1) + timedelta(seconds=i),
-             html.encode("utf-8"), None, "en")
-        )
-    return spark.createDataFrame(rows, schema)
+    return dirty_pages(spark, schema, n_dirty)
 
 
 def main() -> None:

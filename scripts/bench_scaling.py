@@ -187,6 +187,15 @@ def main() -> None:
                     help="forwarded to submit_pipeline.py / KGPipeline: 0 "
                          "forces the fully distributed dictionary path (the "
                          "100x-KB posture) through the N->4N protocol")
+    ap.add_argument("--max-local-surfaces", type=int, default=None,
+                    help="forwarded to submit_pipeline.py / KGPipeline: 0 "
+                         "forces the fully distributed fuzzy patch (unmatched "
+                         "surfaces never collected)")
+    ap.add_argument("--dirty-pages", type=int, default=0,
+                    help="union N deterministic out-of-dictionary pages into "
+                         "every leg's input, so the fuzzy MinHash-LSH linking "
+                         "branch runs inside the N->4N protocol (it is a "
+                         "no-op on the clean staged corpus otherwise)")
     args = ap.parse_args()
 
     staged_here = False
@@ -211,6 +220,12 @@ def main() -> None:
     if args.max_local_dictionary is not None:
         extra_args += ["--max-local-dictionary", str(args.max_local_dictionary)]
         results["max_local_dictionary"] = args.max_local_dictionary
+    if args.max_local_surfaces is not None:
+        extra_args += ["--max-local-surfaces", str(args.max_local_surfaces)]
+        results["max_local_surfaces"] = args.max_local_surfaces
+    if args.dirty_pages > 0:
+        extra_args += ["--dirty-pages", str(args.dirty_pages)]
+        results["dirty_pages"] = args.dirty_pages
     tp: dict[int, list[float]] = {args.n: [], args.n * 4: []}
     flagged_any = False
     # INTERLEAVE the two levels (N, 4N, N, 4N, ...): shared-host throttle

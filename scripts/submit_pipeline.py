@@ -31,6 +31,15 @@ def main() -> None:
                     help="KGPipeline dictionary cap; 0 = never collect the "
                          "dictionary (fully distributed exact+fuzzy mapping, "
                          "the 100x-KB posture). Default: pipeline default (2M)")
+    ap.add_argument("--max-local-surfaces", type=int, default=None,
+                    help="KGPipeline unmatched-surface collect cap; 0 = the "
+                         "unmatched set is never collected (fully distributed "
+                         "fuzzy patch). Default: pipeline default (1M)")
+    ap.add_argument("--dirty-pages", type=int, default=0,
+                    help="union N deterministic out-of-dictionary (typo'd) "
+                         "pages into the corpus before the timed run, so the "
+                         "fuzzy MinHash-LSH linking branch executes under the "
+                         "scaling protocol (fixtures.pages.dirty_pages)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,11 +60,17 @@ def main() -> None:
     records = spark.read.parquet(os.path.join(args.corpus, "records"))
     surfaces = spark.read.parquet(os.path.join(args.corpus, "surfaces"))
     sameas = spark.read.parquet(os.path.join(args.corpus, "sameas"))
+    if args.dirty_pages > 0:
+        from gtfsrt2lc_spark.fixtures.pages import dirty_pages
+
+        pages = pages.unionByName(dirty_pages(spark, pages.schema, args.dirty_pages))
     n_docs = pages.select("url").distinct().count()  # input materialization, untimed
 
     pipe_kwargs = {}
     if args.max_local_dictionary is not None:
         pipe_kwargs["max_local_dictionary"] = args.max_local_dictionary
+    if args.max_local_surfaces is not None:
+        pipe_kwargs["max_local_surfaces"] = args.max_local_surfaces
     pipe = KGPipeline(records, surfaces, sameas,
                       {ph: loc for ph, (loc, _, _) in PREDICATES.items()},
                       broadcast_dups=not args.no_broadcast_dups,
@@ -70,14 +85,17 @@ def main() -> None:
                               n_buckets=args.buckets, run_id=f"scale_{n_cores}")
     wall = time.monotonic() - t0
 
-    print(json.dumps({
+    out = {
         "n_cores": n_cores,
         "n_docs": n_docs,
         "n_triples": metrics["n_triples"],
         "parts": metrics["parts"],
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 2),
-    }))
+    }
+    if args.dirty_pages > 0:
+        out["dirty_pages"] = args.dirty_pages
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from gtfsrt2lc_spark.functions.hashing import tokens, word_ngram_hashes
@@ -48,6 +50,48 @@ def test_word_ngram_hashes_keys_injective_on_distinct_grams(spark):
     # doc2 grams: (quick brown fox), (brown fox jumps)
     assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2
     assert len(by_doc[1] & by_doc[2]) == 1  # the shared trigram
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    docs=st.lists(
+        st.lists(
+            # word alphabet excludes whitespace (tokens() splits on \s+)
+            st.text(alphabet="abcdefgh-.'0", min_size=1, max_size=6),
+            min_size=0, max_size=30,
+        ),
+        min_size=1, max_size=20,
+    ),
+    n=st.integers(min_value=2, max_value=13),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hashed_gram_multiset_matches_strings(spark, docs, n):
+    """Property: for arbitrary token lists and any n in the production
+    range, the MULTISET of hashed gram keys per doc is exactly the image
+    of the string-gram multiset under an injective map — i.e. per-doc gram
+    count, distinct count, and cross-doc equality structure all match the
+    string representation (what decontaminate / gopher rely on)."""
+    import __spark_entry__ as e
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    toks = tokens(F.col("text"))
+    both = df.select(
+        "doc_id",
+        word_ngram_hashes(toks, n).alias("hk"),
+        e._word_ngrams(toks, n).alias("gs"),
+    ).collect()
+    mapping = {}
+    for r in both:
+        assert len(r["hk"]) == len(r["gs"])  # one key per gram, same order
+        for k, g in zip(r["hk"], r["gs"]):
+            # injective + functional: each gram string always maps to the
+            # same key and no two gram strings share a key
+            assert mapping.setdefault(g, k) == k
+    seen = {}
+    for g, k in mapping.items():
+        assert seen.setdefault(k, g) == g
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not staged")

@@ -61,9 +61,24 @@ def main() -> None:
     surfaces = spark.read.parquet(os.path.join(args.corpus, "surfaces"))
     sameas = spark.read.parquet(os.path.join(args.corpus, "sameas"))
     if args.dirty_pages > 0:
+        # Restage the typo'd pages to parquet (untimed) and union the SCAN,
+        # not the driver-built LocalRelation: at bench counts (tens of
+        # thousands x ~1 KB html) a LocalRelation is serialized into every
+        # stage plan that reads pages, which would tax the timed legs with
+        # plan-shipping cost the staged corpus doesn't pay. Same discipline
+        # as bench_flagship_protocols' dirty restaging.
+        import tempfile
+
         from gtfsrt2lc_spark.fixtures.pages import dirty_pages
 
-        pages = pages.unionByName(dirty_pages(spark, pages.schema, args.dirty_pages))
+        dirty_dir = os.path.join(
+            tempfile.gettempdir(), f"scaling_dirty_{args.dirty_pages}"
+        )
+        if not os.path.exists(dirty_dir):
+            dirty_pages(spark, pages.schema, args.dirty_pages).write.parquet(
+                dirty_dir
+            )
+        pages = pages.unionByName(spark.read.parquet(dirty_dir))
     n_docs = pages.select("url").distinct().count()  # input materialization, untimed
 
     pipe_kwargs = {}

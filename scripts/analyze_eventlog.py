@@ -76,12 +76,19 @@ def parse_eventlog(path: str) -> tuple[list[dict], int | None, int | None]:
     def lines():
         for p in parts:
             if p.endswith(".zstd"):
-                # zstd-compressed rolling log: decode via Spark's bundled lib
-                # is unavailable here; use the system zstd binary
+                # zstd-compressed rolling log. Prefer pyarrow's streaming
+                # codec (always present in this stack); the system zstd
+                # binary is only a fallback — hosts routinely lack it.
                 import io
 
-                raw = subprocess.run(["zstd", "-dc", p], capture_output=True,
-                                     check=True).stdout
+                try:
+                    import pyarrow as pa
+
+                    raw = pa.input_stream(p, compression="zstd").read()
+                except Exception:
+                    raw = subprocess.run(["zstd", "-dc", p],
+                                         capture_output=True,
+                                         check=True).stdout
                 yield from io.TextIOWrapper(io.BytesIO(raw), encoding="utf-8")
             else:
                 with open(p) as f:

@@ -449,3 +449,52 @@ def test_shard_shuffle_assignment_is_a_pure_function_of_key(
     # state over the same cluster) reproduces the assignment bit-for-bit
     s2 = spark.newSession()
     assert assignment(s2, s2.createDataFrame(rows, "k string")) == base
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    keys=st.lists(
+        st.text(  # printable ASCII so ord() == Spark ascii() exactly
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            min_size=0, max_size=24,
+        ),
+        min_size=1, max_size=25, unique=True,
+    ),
+    n_shards=st.integers(1, 9),
+    salt=st.sampled_from(["", "ep0", "epoch-1"]),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_shard_shuffle_matches_portable_spec(spark, keys, n_shards, salt):
+    """Stronger than session-independence: the (shard, pos) assignment
+    equals a pure-Python evaluation of the documented portable spec —
+    shard = poly_hash(salt||key) % n_shards, pos = rank within shard by
+    (hash, key). Pinning to the spec means ANY engine computing it (the
+    DuckDB oracle twin, a future Flink port, a numpy dataloader) must
+    agree, so determinism can't degrade into 'whatever this JVM did
+    twice'. ASCII-only keys: that is the regime where ord() == ascii()."""
+    from gtfsrt2lc_spark.functions.hashing import MOD
+    from gtfsrt2lc_spark.operators.scan import shard_shuffle
+
+    def py_poly_hash(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % MOD
+        return h
+
+    hashes = {k: py_poly_hash(salt + k) for k in keys}
+    by_shard: dict = {}
+    for k in keys:
+        by_shard.setdefault(hashes[k] % n_shards, []).append(k)
+    expected = {}
+    for s, ks in by_shard.items():
+        ks.sort(key=lambda k: (hashes[k], k))
+        for pos, k in enumerate(ks, start=1):
+            expected[k] = (s, pos)
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["k"]: (r["shard"], r["pos"])
+        for r in shard_shuffle(df, "k", n_shards=n_shards, salt=salt).collect()
+    }
+    assert got == expected

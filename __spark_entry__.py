@@ -738,6 +738,55 @@ def q_decontaminate_hashed(spark, sf_dir):
     )
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (functions/web.py) — the key-normalization
+    step CC-scale re-crawl dedup and host rollups should run on: scheme/
+    host lowercased, one leading www. dropped, default ports dropped,
+    empty path -> '/', tracking params (utm_*/fbclid/gclid/msclkid)
+    dropped, surviving query params bytewise-sorted, fragment dropped;
+    non-URLs canonicalize to NULL.
+
+    documents has no url column, so six messy-URL shapes are synthesized
+    deterministically from doc_id (uri_mint pattern) covering every policy
+    rule: uppercase scheme+host+www+default port+tracking param+fragment /
+    https default port / empty path / userinfo+non-default port+duplicate
+    keys needing a sort / query that empties entirely / a non-URL. The
+    DuckDB twin constructs the EXPECTED canonical forms directly from the
+    variant structure — an independent formulation that would catch a bug
+    in the generic parser, not reproduce it.
+
+    Scale posture: pure regexp/array JVM expressions, one narrow
+    projection — no shuffle, no UDF; safe on 10^12 rows."""
+    from gtfsrt2lc_spark.functions.web import (
+        canonicalize_url, registered_domain, url_host,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
+    ds = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 37).cast("string")
+    v = F.col("doc_id") % 6
+    raw = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTP://WWW.Site"), k, F.lit(".Example.COM:80/a/"), ds,
+            F.lit("?b=2&a=1&utm_source=feed#frag")))
+        .when(v == 1, F.concat(
+            F.lit("https://site"), k, F.lit(".example.com:443/p/"), ds))
+        .when(v == 2, F.concat(F.lit("http://site"), k, F.lit(".example.com")))
+        .when(v == 3, F.concat(
+            F.lit("https://user@site"), k, F.lit(".example.com:8443/x?z=9&a=1&a=0")))
+        .when(v == 4, F.concat(
+            F.lit("http://www.site"), k, F.lit(".sub.example.com/idx?gclid=abc")))
+        .otherwise(F.concat(F.lit("not a url "), ds))
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("url_raw"),
+        canonicalize_url(raw).alias("url_canon"),
+        url_host(raw).alias("host"),
+        registered_domain(raw).alias("domain"),
+    )
+
+
 def q_mixture_weights(spark, sf_dir):
     """Static corpus-mixture reweighting (the pre-training data-mixing
     step): given a token budget of 50% of the corpus and a UNIFORM target
@@ -1487,6 +1536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added r6 (tail; rotation candidate for r7): hashed-gram-key
         # decontamination fast path — oracle is decontaminate's string SQL
         "decontaminate_hashed": q_decontaminate_hashed,
+        # added r6 (tail; rotation candidate for r7): canonical-url keys
+        # for re-crawl dedup / host rollups (functions/web.py)
+        "url_canonicalize": q_url_canonicalize,
     }
 
 
@@ -2792,6 +2844,46 @@ def oracle_sql() -> dict[str, str]:
     # gram key never reaches the output, so n_hits over keys == n_hits over
     # gram strings (absent a 2^-64 xxhash64 collision).
     sql["decontaminate_hashed"] = sql["decontaminate"]
+    # Independent formulation on purpose: the twin constructs the EXPECTED
+    # canonical forms from the known variant structure instead of
+    # re-running a generic URL parser, so a parser bug cannot cancel out.
+    sql["url_canonicalize"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(doc_id % 37 AS VARCHAR) AS k,
+                 CAST(doc_id AS VARCHAR) AS ds,
+                 doc_id % 6 AS v
+          FROM documents WHERE doc_id < 600
+        )
+        SELECT doc_id,
+          CASE v
+            WHEN 0 THEN 'HTTP://WWW.Site' || k || '.Example.COM:80/a/' || ds
+                        || '?b=2&a=1&utm_source=feed#frag'
+            WHEN 1 THEN 'https://site' || k || '.example.com:443/p/' || ds
+            WHEN 2 THEN 'http://site' || k || '.example.com'
+            WHEN 3 THEN 'https://user@site' || k || '.example.com:8443/x?z=9&a=1&a=0'
+            WHEN 4 THEN 'http://www.site' || k || '.sub.example.com/idx?gclid=abc'
+            ELSE 'not a url ' || ds
+          END AS url_raw,
+          CASE v
+            WHEN 0 THEN 'http://site' || k || '.example.com/a/' || ds || '?a=1&b=2'
+            WHEN 1 THEN 'https://site' || k || '.example.com/p/' || ds
+            WHEN 2 THEN 'http://site' || k || '.example.com/'
+            WHEN 3 THEN 'https://site' || k || '.example.com:8443/x?a=0&a=1&z=9'
+            WHEN 4 THEN 'http://site' || k || '.sub.example.com/idx'
+            ELSE NULL
+          END AS url_canon,
+          CASE v
+            WHEN 4 THEN 'site' || k || '.sub.example.com'
+            WHEN 5 THEN ''
+            ELSE 'site' || k || '.example.com'
+          END AS host,
+          CASE v
+            WHEN 5 THEN ''
+            ELSE 'example.com'
+          END AS domain
+        FROM d
+    """
     return sql
 
 

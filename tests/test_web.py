@@ -1,0 +1,97 @@
+"""URL canonicalization (functions/web.py): policy table + idempotence."""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
+
+from gtfsrt2lc_spark.functions.web import (
+    canonicalize_url,
+    registered_domain,
+    url_host,
+)
+
+# (input, canonical, host, domain) — one row per policy rule, plus the
+# hostile edges: userinfo with a colon, duplicate query keys needing a
+# bytewise sort, a query that empties entirely, stacked www labels,
+# non-http schemes (no default-port rule), surrounding whitespace.
+CASES = [
+    ("HTTP://WWW.Example.COM:80/a?b=2&a=1#f",
+     "http://example.com/a?a=1&b=2", "example.com", "example.com"),
+    ("https://example.com:443/", "https://example.com/",
+     "example.com", "example.com"),
+    ("https://example.com:8443/x", "https://example.com:8443/x",
+     "example.com", "example.com"),
+    ("http://example.com", "http://example.com/",
+     "example.com", "example.com"),
+    ("http://user:pw@example.com/x", "http://example.com/x",
+     "example.com", "example.com"),
+    ("http://example.com/?utm_source=a&utm_medium=b&gclid=1&fbclid=2&msclkid=3",
+     "http://example.com/", "example.com", "example.com"),
+    ("http://example.com/a?fbclid=1&x=2", "http://example.com/a?x=2",
+     "example.com", "example.com"),
+    ("http://e.com/?b=1&a=2&a=10", "http://e.com/?a=10&a=2&b=1",
+     "e.com", "e.com"),
+    ("http://www.www.example.com/x", "http://example.com/x",
+     "example.com", "example.com"),
+    ("http://a.b.c.example.org/", "http://a.b.c.example.org/",
+     "a.b.c.example.org", "example.org"),
+    ("http://localhost/x", "http://localhost/x", "localhost", "localhost"),
+    ("ftp://Files.Example.com:21/pub", "ftp://files.example.com:21/pub",
+     "files.example.com", "example.com"),
+    ("  http://example.com/x  ", "http://example.com/x",
+     "example.com", "example.com"),
+    ("not a url", None, "", ""),
+    ("", None, "", ""),
+]
+
+
+def test_policy_table(spark):
+    df = spark.createDataFrame([(c[0],) for c in CASES], "url string")
+    rows = df.select(
+        "url",
+        canonicalize_url(F.col("url")).alias("canon"),
+        url_host(F.col("url")).alias("host"),
+        registered_domain(F.col("url")).alias("domain"),
+    ).collect()
+    got = {r["url"]: (r["canon"], r["host"], r["domain"]) for r in rows}
+    for url, canon, host, domain in CASES:
+        assert got[url] == (canon, host, domain), url
+
+
+_url = st.builds(
+    lambda scheme, www, host, port, path, params, frag: (
+        f"{scheme}://{www}{host}{port}{path}"
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+    www=st.sampled_from(["", "www.", "WWW.", "www.www."]),
+    host=st.sampled_from(["Example.com", "a.B.example.ORG", "localhost", "x.co"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.sampled_from(["", "/", "/a/b", "/a%20b", "//x"]),
+    params=st.lists(
+        st.sampled_from(["a=1", "a=2", "b=", "utm_source=x", "gclid=1", "z"]),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#f", "#a?b=1"]),
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(urls=st.lists(_url, min_size=1, max_size=30, unique=True))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_canonicalize_is_idempotent(spark, urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u): canonical keys
+    must be a fixed point, or two dedup passes disagree with one."""
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        canonicalize_url(F.col("url")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"]
+        assert r["c1"] is None or " " not in r["c1"]

@@ -787,6 +787,45 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """Canonical-key re-crawl dedup: the integration of functions/web.py
+    into operators/dedup.latest_by_key that KGPipeline(canonical_urls=True)
+    runs (plans/kg_pipeline.py extracted()). Three url spellings of each
+    logical page — uppercase www/default-port/tracking-param variants at
+    doc_id, doc_id+100, doc_id+200 — collapse to ONE canonical key, and
+    latest-wins (order = doc_id) must pick the third spelling.
+
+    The DuckDB twin constructs the expected winner set directly from the
+    variant structure (docs 200-299 win by construction), so a bug in
+    either the canonicalizer (variants failing to collapse -> 300 rows) or
+    the dedup (wrong winner) mismatches instead of cancelling out.
+
+    Scale posture: canonicalization is pure JVM expressions inside the
+    scan projection; latest_by_key's unique_order fast path shuffles two
+    pruned columns of dup stats only — the payload never moves."""
+    from gtfsrt2lc_spark.functions.web import canonicalize_url
+    from gtfsrt2lc_spark.operators.dedup import latest_by_key
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    g = (F.col("doc_id") % 100).cast("string")
+    v = F.floor(F.col("doc_id") / 100)
+    raw = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTP://WWW.Site"), g, F.lit(".Example.COM:80/p/"), g,
+            F.lit("?utm_source=f#x")))
+        .when(v == 1, F.concat(
+            F.lit("http://site"), g, F.lit(".example.com/p/"), g,
+            F.lit("?gclid=z")))
+        .otherwise(F.concat(
+            F.lit("http://site"), g, F.lit(".example.com:80/p/"), g))
+    )
+    pages = d.select("doc_id", canonicalize_url(raw).alias("url"))
+    out = latest_by_key(pages, "url", "doc_id", unique_order=True)
+    return out.select(
+        F.col("url").alias("url_canon"), F.col("doc_id").alias("winner_doc")
+    )
+
+
 def q_mixture_weights(spark, sf_dir):
     """Static corpus-mixture reweighting (the pre-training data-mixing
     step): given a token budget of 50% of the corpus and a UNIFORM target
@@ -1539,6 +1578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added r6 (tail; rotation candidate for r7): canonical-url keys
         # for re-crawl dedup / host rollups (functions/web.py)
         "url_canonicalize": q_url_canonicalize,
+        # added r6 (tail; rotation candidate for r7): canonical-key
+        # latest-wins dedup, the KGPipeline(canonical_urls=True) integration
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -2883,6 +2925,18 @@ def oracle_sql() -> dict[str, str]:
             ELSE 'example.com'
           END AS domain
         FROM d
+    """
+    # Independent formulation again: winners are docs 200-299 BY VARIANT
+    # CONSTRUCTION (the third spelling carries the highest doc_id), so the
+    # twin never runs a canonicalizer or a dedup — a collapse failure
+    # (300 spark rows) or a wrong-winner bug mismatches here.
+    sql["url_dedup"] = """
+        SELECT 'http://site' || CAST(doc_id % 100 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id % 100 AS VARCHAR)
+               AS url_canon,
+               doc_id AS winner_doc
+        FROM documents
+        WHERE doc_id >= 200 AND doc_id < 300
     """
     return sql
 

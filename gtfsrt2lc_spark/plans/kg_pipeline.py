@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from gtfsrt2lc_spark.functions.iri import entity_iri, predicate_iri
 from gtfsrt2lc_spark.functions.text import extract_text_udf
 from gtfsrt2lc_spark.operators.components import connected_components
+from gtfsrt2lc_spark.functions.web import canonicalize_url
 from gtfsrt2lc_spark.operators.dedup import latest_by_key
 from gtfsrt2lc_spark.operators.linking import link_fuzzy
 
@@ -57,6 +58,7 @@ class KGPipeline:
         max_local_surfaces: int | None = 1_000_000,
         max_local_dictionary: int | None = 2_000_000,
         broadcast_dups: bool = True,
+        canonical_urls: bool = False,
         scratch_dir: str | None = None,
     ) -> None:
         self.records = records
@@ -75,6 +77,16 @@ class KGPipeline:
         # False and takes one payload shuffle instead of a possible
         # broadcast OOM (operators/dedup.py latest_by_key contract).
         self.broadcast_dups = broadcast_dups
+        # Re-crawl dedup key normalization (functions/web.py policy): a real
+        # crawl log stores `HTTP://WWW.x.com:80/a?utm_source=f` and
+        # `http://x.com/a` as distinct urls for the same document. When True,
+        # `extracted()` rewrites url to its canonical form BEFORE latest-wins,
+        # so variants collapse to one surviving snapshot and downstream
+        # provenance graphs are canonical urls. Non-parsing urls keep their
+        # raw string as the key (coalesce) rather than collapsing into one
+        # NULL group. Default False: golden-fixture urls are already
+        # canonical, and byte-parity of `graph` vs recorded fixtures matters.
+        self.canonical_urls = canonical_urls
         # Stage checkpoints MUST live on a filesystem every executor can
         # reach (HDFS/S3A/shared NFS): a driver-local tmp dir silently loses
         # the partitions other executors wrote on a multi-node cluster.
@@ -119,7 +131,17 @@ class KGPipeline:
         moved every page byte through the exchange, and the earlier
         all-keys winner semi-join silently degraded to the same payload
         shuffle once the winner set outgrew the broadcast threshold;
-        measured as the pipeline's largest non-scaling I/O)."""
+        measured as the pipeline's largest non-scaling I/O).
+
+        canonical_urls: url is rewritten to its canonical form (pure JVM
+        expressions — stays inside the scan projection) before the dedup,
+        so tracking-param/www/port variants of one document compete as one
+        key. Two variants sharing a warc_ts both survive the fast path's
+        tie contract; the terminal (s,p,o) dedup absorbs them."""
+        if self.canonical_urls:
+            pages = pages.withColumn(
+                "url", F.coalesce(canonicalize_url(F.col("url")), F.col("url"))
+            )
         latest = latest_by_key(
             pages,
             "url",

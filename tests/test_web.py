@@ -95,3 +95,56 @@ def test_canonicalize_is_idempotent(spark, urls):
     for r in rows:
         assert r["c1"] == r["c2"]
         assert r["c1"] is None or " " not in r["c1"]
+
+# ---------------------------------------------------------------------------
+# pipeline integration: canonical_urls as the re-crawl dedup key
+
+
+def _pipe(corpus_dfs, **kw):
+    from gtfsrt2lc_spark.fixtures.pages import PREDICATES
+    from gtfsrt2lc_spark.plans.kg_pipeline import KGPipeline
+
+    _, records, surfaces, sameas = corpus_dfs
+    preds = {ph: loc for ph, (loc, _, _) in PREDICATES.items()}
+    return KGPipeline(records, surfaces, sameas, preds, **kw)
+
+
+def test_canonical_urls_collapse_recrawl_variants(spark, corpus_dfs):
+    """Three url-spellings of one document (www/default-port/tracking-param
+    variants) are three keys for the default pipeline but ONE key — the
+    latest snapshot — under canonical_urls=True."""
+    from datetime import datetime
+
+    pages = corpus_dfs[0]
+    old = b"<html><body><p>Acme Corp acquired Initech.</p></body></html>"
+    new = b"<html><body><p>Acme Corp acquired Hooli.</p></body></html>"
+    rows = [
+        ("HTTP://WWW.Dup.Example.COM:80/a?utm_source=f#x",
+         datetime(2024, 1, 1), old, None, "en"),
+        ("http://dup.example.com/a?gclid=zzz",
+         datetime(2024, 1, 2), old, None, "en"),
+        ("http://dup.example.com:80/a",
+         datetime(2024, 1, 3), new, None, "en"),
+    ]
+    variants = spark.createDataFrame(rows, pages.schema)
+
+    default_rows = _pipe(corpus_dfs).extracted(variants).collect()
+    assert len(default_rows) == 3  # raw keys: no collapse
+
+    canon_rows = _pipe(corpus_dfs, canonical_urls=True).extracted(variants).collect()
+    assert len(canon_rows) == 1
+    assert canon_rows[0]["url"] == "http://dup.example.com/a"
+    assert "Hooli" in canon_rows[0]["extracted_text"]  # latest won
+
+
+def test_canonical_urls_parity_on_clean_corpus(spark, corpus_dfs, corpus):
+    """Fixture urls are already canonical (https, no www/port/query), so
+    canonical_urls=True must be a no-op on the triple set: same triples,
+    same provenance graphs."""
+    pages = corpus_dfs[0]
+    base = _pipe(corpus_dfs).triples(pages)
+    canon = _pipe(corpus_dfs, canonical_urls=True).triples(pages)
+    cols = ["subj", "pred", "obj", "graph"]
+    assert sorted(map(tuple, base.select(*cols).collect())) == sorted(
+        map(tuple, canon.select(*cols).collect())
+    )

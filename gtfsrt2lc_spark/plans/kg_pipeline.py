@@ -121,6 +121,18 @@ class KGPipeline:
         alt = "|".join(re.escape(p) for p in phrases)
         self._svo_pattern = rf"^({_MENTION}) ({alt}) ({_MENTION})\.$"
 
+    def page_key(self, col: "F.Column | None" = None) -> "F.Column":
+        """The document-identity expression for a url column: the canonical
+        form under ``canonical_urls``, the raw string otherwise. Partitioners
+        (manifest.run_incremental's bucket assignment) MUST key on this, not
+        on raw url: latest-wins runs per bucket, so two spellings of one
+        document split across buckets would each win their own bucket and
+        the stale snapshot's triples would leak into the store."""
+        c = F.col("url") if col is None else col
+        if self.canonical_urls:
+            return F.coalesce(canonicalize_url(c), c)
+        return c
+
     # ---- stage 1+2 -------------------------------------------------------
     def extracted(self, pages: DataFrame) -> DataFrame:
         """Latest snapshot per url, with deterministically extracted text.

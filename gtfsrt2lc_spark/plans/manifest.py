@@ -116,8 +116,13 @@ def _run_incremental_body(
     t0: float,
     owns_scratch: bool,
 ) -> dict:
+    # Bucket by the pipeline's document-identity key (canonical url when
+    # KGPipeline(canonical_urls=True)), NOT the raw spelling: latest-wins
+    # dedup runs per bucket, so all spellings of one document must
+    # co-locate or a stale snapshot wins its own bucket and leaks.
+    key = pipeline.page_key() if hasattr(pipeline, "page_key") else F.col("url")
     bucketed = pages.withColumn(
-        "part_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+        "part_id", F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
     )
     done = read_manifest(spark, out_dir).where(F.col("status") == "done").select("part_id")
     todo = bucketed.join(F.broadcast(done), "part_id", "left_anti")

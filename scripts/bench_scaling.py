@@ -196,6 +196,12 @@ def main() -> None:
                          "every leg's input, so the fuzzy MinHash-LSH linking "
                          "branch runs inside the N->4N protocol (it is a "
                          "no-op on the clean staged corpus otherwise)")
+    ap.add_argument("--canonical-urls", action="store_true",
+                    help="forwarded: KGPipeline(canonical_urls=True)")
+    ap.add_argument("--messy-urls", action="store_true",
+                    help="forwarded: restage pages with messy url spellings "
+                         "(untimed) so canonical-key dedup does real collapse "
+                         "work inside the N->4N protocol")
     args = ap.parse_args()
 
     staged_here = False
@@ -226,6 +232,12 @@ def main() -> None:
     if args.dirty_pages > 0:
         extra_args += ["--dirty-pages", str(args.dirty_pages)]
         results["dirty_pages"] = args.dirty_pages
+    if args.canonical_urls:
+        extra_args += ["--canonical-urls"]
+        results["canonical_urls"] = True
+    if args.messy_urls:
+        extra_args += ["--messy-urls"]
+        results["messy_urls"] = True
     tp: dict[int, list[float]] = {args.n: [], args.n * 4: []}
     flagged_any = False
     # INTERLEAVE the two levels (N, 4N, N, 4N, ...): shared-host throttle

@@ -40,6 +40,17 @@ def main() -> None:
                          "pages into the corpus before the timed run, so the "
                          "fuzzy MinHash-LSH linking branch executes under the "
                          "scaling protocol (fixtures.pages.dirty_pages)")
+    ap.add_argument("--canonical-urls", action="store_true",
+                    help="KGPipeline(canonical_urls=True): canonical-url keys "
+                         "for the latest-wins dedup (functions/web.py policy)")
+    ap.add_argument("--messy-urls", action="store_true",
+                    help="restage pages (untimed) with messy url spellings on "
+                         "every even-second warc_ts row (HTTPS://WWW. prefix, "
+                         "tracking param, fragment) — re-crawled urls whose "
+                         "snapshots straddle the parity get TWO spellings, so "
+                         "--canonical-urls must collapse them to reproduce the "
+                         "clean corpus's output; without it the run is "
+                         "deliberately wrong (diagnostic)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,6 +68,29 @@ def main() -> None:
     from gtfsrt2lc_spark.plans.manifest import run_incremental
 
     pages = spark.read.parquet(os.path.join(args.corpus, "pages"))
+    if args.messy_urls:
+        # Restage to parquet untimed (same discipline as --dirty-pages): the
+        # timed legs must scan the messy spellings, not pay a rewrite the
+        # real corpus wouldn't.
+        import tempfile
+
+        messy_dir = os.path.join(
+            tempfile.gettempdir(),
+            "scaling_messy_" + os.path.basename(os.path.normpath(args.corpus)),
+        )
+        if not os.path.exists(messy_dir):
+            pages.withColumn(
+                "url",
+                F.when(
+                    F.second("warc_ts") % 2 == 0,
+                    F.concat(
+                        F.lit("HTTPS://WWW."),
+                        F.expr("substring(url, 9)"),
+                        F.lit("?utm_source=bench#f"),
+                    ),
+                ).otherwise(F.col("url")),
+            ).write.parquet(messy_dir)
+        pages = spark.read.parquet(messy_dir)
     records = spark.read.parquet(os.path.join(args.corpus, "records"))
     surfaces = spark.read.parquet(os.path.join(args.corpus, "surfaces"))
     sameas = spark.read.parquet(os.path.join(args.corpus, "sameas"))
@@ -79,7 +113,19 @@ def main() -> None:
                 dirty_dir
             )
         pages = pages.unionByName(spark.read.parquet(dirty_dir))
-    n_docs = pages.select("url").distinct().count()  # input materialization, untimed
+    if args.canonical_urls:
+        # the true document count: messy spellings of one url are one doc
+        from gtfsrt2lc_spark.functions.web import canonicalize_url
+
+        n_docs = (
+            pages.select(
+                F.coalesce(canonicalize_url(F.col("url")), F.col("url")).alias("u")
+            )
+            .distinct()
+            .count()
+        )
+    else:
+        n_docs = pages.select("url").distinct().count()  # input materialization, untimed
 
     pipe_kwargs = {}
     if args.max_local_dictionary is not None:
@@ -89,6 +135,7 @@ def main() -> None:
     pipe = KGPipeline(records, surfaces, sameas,
                       {ph: loc for ph, (loc, _, _) in PREDICATES.items()},
                       broadcast_dups=not args.no_broadcast_dups,
+                      canonical_urls=args.canonical_urls,
                       **pipe_kwargs)
     pipe.canonical_map()  # KB prep amortized across runs, untimed
     if args.warmup:
@@ -110,6 +157,10 @@ def main() -> None:
     }
     if args.dirty_pages > 0:
         out["dirty_pages"] = args.dirty_pages
+    if args.canonical_urls:
+        out["canonical_urls"] = True
+    if args.messy_urls:
+        out["messy_urls"] = True
     print(json.dumps(out))
 
 

@@ -148,3 +148,65 @@ def test_canonical_urls_parity_on_clean_corpus(spark, corpus_dfs, corpus):
     assert sorted(map(tuple, base.select(*cols).collect())) == sorted(
         map(tuple, canon.select(*cols).collect())
     )
+
+
+def test_canonical_bucketing_no_stale_leak(spark, corpus_dfs, tmp_path):
+    """run_incremental buckets by the CANONICAL key (pipeline.page_key).
+
+    The hazard is crash-RESUME: within one run latest-wins is global, but
+    a resumed run anti-joins done buckets away. If a document's newest
+    spelling hashed into a done bucket while a stale older spelling hashed
+    into a pending one (possible only when bucketing keys on RAW url),
+    the resumed run sees the stale snapshot alone, it wins, and its
+    triples leak into the store. Simulated here by pre-seeding the
+    manifest with half the buckets marked done. The poison fact uses two
+    real KB orgs, so it survives entity linking IF a stale snapshot ever
+    wins."""
+    from itertools import permutations
+
+    from gtfsrt2lc_spark.fixtures.pages import ORGS, entity_iri, predicate_iri
+    from gtfsrt2lc_spark.plans.manifest import read_triples, run_incremental
+
+    pages = corpus_dfs[0]
+    clean = {
+        tuple(r)
+        for r in _pipe(corpus_dfs)
+        .triples(pages)
+        .select("subj", "pred", "obj")
+        .distinct()
+        .collect()
+    }
+    # pick the first org pair whose "acquired" fact is corpus-novel, so the
+    # poison is detectable: present in the store == a stale snapshot won
+    acq = predicate_iri("acquired")
+    s_org, o_org = next(
+        (a, b)
+        for a, b in permutations(ORGS, 2)
+        if (entity_iri(a), acq, entity_iri(b)) not in clean
+    )
+    poison = (entity_iri(s_org), acq, entity_iri(o_org))
+    # losing variants: 1s earlier, html carrying the linkable poison fact
+    messy = pages.selectExpr(
+        "concat('HTTPS://WWW.', substring(url, 9), '?utm_source=f#x') AS url",
+        "warc_ts - INTERVAL 1 SECOND AS warc_ts",
+        f"cast('<html><body><p>{s_org} acquired {o_org}.</p></body>"
+        "</html>' as binary) AS html",
+        "text", "lang",
+    )
+    dirty = pages.unionByName(messy)
+    pipe = _pipe(corpus_dfs, canonical_urls=True)
+    out = str(tmp_path / "kg")
+    # simulate a crashed first run: buckets 0-7 already recorded done
+    from gtfsrt2lc_spark.plans.manifest import MANIFEST_SCHEMA, _manifest_path
+
+    spark.createDataFrame(
+        [(p, 0, 0, 0, "crashed", 0, "done") for p in range(8)], MANIFEST_SCHEMA
+    ).write.parquet(_manifest_path(out))
+    run_incremental(spark, dirty, pipe, out, n_buckets=16, run_id="resume")
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in read_triples(spark, out).select("subj", "pred", "obj").collect()
+    }
+    assert poison not in got
+    # every triple the resumed half emitted is a clean-corpus triple
+    assert got <= clean

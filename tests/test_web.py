@@ -210,3 +210,44 @@ def test_canonical_bucketing_no_stale_leak(spark, corpus_dfs, tmp_path):
     assert poison not in got
     # every triple the resumed half emitted is a clean-corpus triple
     assert got <= clean
+
+
+def _py_canonicalize(u: str) -> str | None:
+    """Independent reference implementation of the module policy, built on
+    urllib.parse instead of the Spark regex/array expressions — a formulation
+    bug in one is unlikely to reproduce in the other."""
+    import re
+    from urllib.parse import urlsplit
+
+    u = u.strip()
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", u):
+        return None
+    parts = urlsplit(u)
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    host = re.sub(r"^(www\.)+", "", host)
+    port = ""
+    netloc_nouser = parts.netloc.rsplit("@", 1)[-1]
+    if ":" in netloc_nouser:
+        p = netloc_nouser.rsplit(":", 1)[1]
+        if not ((scheme == "http" and p == "80") or (scheme == "https" and p == "443")):
+            port = ":" + p
+    path = parts.path or "/"
+    keep = [
+        kv
+        for kv in parts.query.split("&")
+        if kv and not re.match(r"^(utm_[^=]*|fbclid|gclid|msclkid)(=.*)?$", kv)
+    ]
+    q = "?" + "&".join(sorted(keep)) if parts.query and keep else ""
+    return f"{scheme}://{host}{port}{path}{q}"
+
+
+@pytest.mark.usefixtures("spark")
+@given(urls=st.lists(_url, min_size=1, max_size=40, unique=True))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_canonicalize_matches_urllib_reference(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()
+    for r in rows:
+        assert r["c"] == _py_canonicalize(r["url"]), r["url"]

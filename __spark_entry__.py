@@ -1380,6 +1380,24 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(d, "doc_id", "text", window=10)
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Cross-document exact-substring duplication stats (Lee et al. 2022
+    substring dedup, operators/dedup.duplicate_spans): per doc, how many
+    of its 8-token windows occur verbatim in >=2 distinct documents.
+    k=8 at test SF (2,101 hot positions across 47 docs on this corpus);
+    production runs k~50 on the same plan — the window keys are 64-bit
+    rolling hashes either way, so only (long, doc_id) pairs shuffle and
+    the hash never reaches the output (string-gram oracle verifies
+    exactly)."""
+    from gtfsrt2lc_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = duplicate_spans(d, "doc_id", "text", k=8, min_docs=2)
+    return out.select(
+        F.col("doc").alias("doc_id"), "n_windows", "n_dup_windows", "dup_frac"
+    )
+
+
 # repair recurrence fixture constants (shared by the Spark query and the
 # DuckDB oracle generator): a 40x40 (grp, seq) grid derived from event_id
 _REPAIR_DAY0 = 1_700_000_000
@@ -1581,6 +1599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added r6 (tail; rotation candidate for r7): canonical-key
         # latest-wins dedup, the KGPipeline(canonical_urls=True) integration
         "url_dedup": q_url_dedup,
+        # added r6 (tail; rotation candidate for r7): Lee-et-al exact
+        # substring dedup stats over hashed k-token windows
+        "duplicate_spans": q_duplicate_spans,
     }
 
 
@@ -2937,6 +2958,34 @@ def oracle_sql() -> dict[str, str]:
                doc_id AS winner_doc
         FROM documents
         WHERE doc_id >= 200 AND doc_id < 300
+    """
+    # string-gram twin of the hashed-window plan: the 64-bit window keys
+    # never reach the output, so counting over gram STRINGS verifies the
+    # result exactly (same argument as decontaminate_hashed)
+    _w8 = " || ' ' || ".join(f"toks[i+{j}]" for j in range(8))
+    sql["duplicate_spans"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKENS_SQL.format(s='text')} AS toks FROM documents
+        ),
+        k AS (
+            SELECT doc_id, CAST(len(toks) - 7 AS BIGINT) AS n_windows,
+                   list_transform(range(1, len(toks) - 6), i -> {_w8}) AS grams
+            FROM t WHERE len(toks) >= 8
+        ),
+        g AS (SELECT doc_id, unnest(grams) AS g FROM k),
+        hot AS (
+            SELECT g FROM (
+                SELECT g, COUNT(DISTINCT doc_id) AS d FROM g GROUP BY g
+            ) WHERE d >= 2
+        ),
+        dup AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+            FROM g JOIN hot USING (g) GROUP BY doc_id
+        )
+        SELECT k.doc_id, n_windows,
+               CAST(COALESCE(dup.n_dup, 0) AS BIGINT) AS n_dup_windows,
+               ROUND(COALESCE(dup.n_dup, 0) / n_windows, 6) AS dup_frac
+        FROM k LEFT JOIN dup USING (doc_id)
     """
     return sql
 

@@ -30,6 +30,7 @@ from gtfsrt2lc_spark.functions.hashing import (
     simhash32,
     token_hashes,
     tokens,
+    word_ngram_hashes,
 )
 
 
@@ -476,4 +477,62 @@ def ngram_jaccard(
         "doc_a",
         "doc_b",
         F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document exact-substring duplication stats — the training-data
+    dedup stage of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499), re-expressed as a Spark plan
+    at word-window granularity instead of a suffix array.
+
+    For each document with at least ``k`` tokens: how many of its k-token
+    windows occur verbatim in >= ``min_docs`` distinct documents (itself
+    included). Repeated occurrences of a hot window inside one document all
+    count — the result is the span mass a substring-dedup pass would cut.
+    Returns (id, n_windows, n_dup_windows, dup_frac).
+
+    Plan shape and 100 TB posture: window keys are 64-bit rolling
+    ``word_ngram_hashes`` (no gram strings materialized; reference corpora
+    use k≈50, where a string key would be ~400 bytes/window); the exploded
+    key table is linear in corpus tokens and carries (long, id) only. Two
+    keyed shuffles: distinct (key, id) pairs -> per-key distinct-doc count,
+    then hot keys join back to the exploded frame (map-side combinable
+    per-doc count). The suffix array's global character sort — the part
+    that does not distribute — is replaced by hash equality at window
+    granularity, the standard Spark re-formulation. The hash never reaches
+    the output, so a string-gram oracle verifies results exactly
+    (functions/hashing.word_ngram_hashes contract).
+    """
+    toks = tokens(F.col(text_col))
+    keyed = df.select(
+        F.col(id_col).alias("doc"), word_ngram_hashes(toks, k).alias("keys")
+    ).where(F.size("keys") > 0)
+    win = keyed.select("doc", F.explode("keys").alias("key"))
+    hot = (
+        win.select("key", "doc")
+        .distinct()
+        .groupBy("key")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("key")
+    )
+    dup_counts = (
+        win.join(hot, "key")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    totals = keyed.select("doc", F.size("keys").cast("long").alias("n_windows"))
+    return (
+        totals.join(dup_counts, "doc", "left")
+        .select(
+            "doc",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 6
+            ).alias("dup_frac"),
+        )
     )

@@ -290,3 +290,43 @@ def test_dedup_exact_rejects_reserved_columns(spark):
     )
     with pytest.raises(ValueError, match="_digest"):
         dedup_exact(df, "content", "id")
+
+
+def test_duplicate_spans_counts_positions(spark):
+    """Lee-et-al substring-dedup stats: a window shared across docs counts
+    EVERY position it occupies (including repeats within one doc); docs
+    shorter than k are excluded; unshared docs report zero."""
+    from gtfsrt2lc_spark.operators.dedup import duplicate_spans
+
+    shared = "a b c d"  # the 4-token window both docs carry
+    rows = [
+        (1, f"{shared} x y z"),          # 7 toks -> 4 windows, 1 hot
+        (2, f"p q {shared} r {shared}"),  # 11 toks -> 8 windows, 2 hot
+        (3, "u v w x y z q1 q2"),        # 8 toks -> 5 windows, none shared
+        (4, "too short"),                 # < k -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in duplicate_spans(df, "doc_id", "text", k=4, min_docs=2).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (4, 1, 0.25)
+    assert got[2] == (8, 2, 0.25)
+    assert got[3] == (5, 0, 0.0)
+
+
+def test_duplicate_spans_min_docs_threshold(spark):
+    """min_docs=3: a window shared by only two docs is not hot."""
+    from gtfsrt2lc_spark.operators.dedup import duplicate_spans
+
+    rows = [(1, "a b c d e"), (2, "a b c d f"), (3, "z z z z z")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = duplicate_spans(df, "doc_id", "text", k=4, min_docs=3).collect()
+    assert all(r["n_dup_windows"] == 0 for r in out)
+    # but doc 3's self-repeated window is hot for min_docs=1
+    out1 = {
+        r["doc"]: r["n_dup_windows"]
+        for r in duplicate_spans(df, "doc_id", "text", k=4, min_docs=1).collect()
+    }
+    assert out1[3] == 2  # both positions of the z-window count

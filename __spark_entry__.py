@@ -1380,6 +1380,22 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(d, "doc_id", "text", window=10)
 
 
+def q_cut_spans(spark, sf_dir):
+    """The cut step of exact-substring dedup (Lee et al. 2022,
+    operators/dedup.cut_duplicate_spans): hot 8-token windows keep their
+    globally-first occurrence (min (doc, pos)); every other occurrence's
+    tokens are removed, overlaps merged, and the CLEANED TEXT is rebuilt —
+    the oracle verifies the output strings byte-exactly. Document text
+    never rides a shuffle; only 8-byte window keys and int positions do."""
+    from gtfsrt2lc_spark.operators.dedup import cut_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = cut_duplicate_spans(d, "doc_id", "text", k=8, min_docs=2)
+    return out.select(
+        F.col("doc").alias("doc_id"), "text_clean", "n_tokens", "n_cut"
+    )
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Cross-document exact-substring duplication stats (Lee et al. 2022
     substring dedup, operators/dedup.duplicate_spans): per doc, how many
@@ -1602,6 +1618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added r6 (tail; rotation candidate for r7): Lee-et-al exact
         # substring dedup stats over hashed k-token windows
         "duplicate_spans": q_duplicate_spans,
+        # added r6 (tail; rotation candidate for r7): the dedup CUT —
+        # rebuilt cleaned text verified byte-exactly by the oracle
+        "cut_spans": q_cut_spans,
     }
 
 
@@ -2986,6 +3005,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(dup.n_dup, 0) AS BIGINT) AS n_dup_windows,
                ROUND(COALESCE(dup.n_dup, 0) / n_windows, 6) AS dup_frac
         FROM k LEFT JOIN dup USING (doc_id)
+    """
+    # gram-string twin of the cut: first occurrence = min (doc, pos),
+    # encoded as doc_id*1000000+pos (positions are far below 1e6); covered
+    # token indexes anti-join the token rows and the cleaned text is
+    # string_agg'd back in order — byte-exact vs the Spark rebuild.
+    sql["cut_spans"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKENS_SQL.format(s='text')} AS toks FROM documents
+        ),
+        g AS (
+            SELECT doc_id, i - 1 AS pos, {_w8} AS gram
+            FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+            WHERE len(toks) >= 8
+        ),
+        hot AS (
+            SELECT gram, MIN(doc_id * 1000000 + pos) AS firstkey
+            FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        cut AS (
+            SELECT g.doc_id, g.pos
+            FROM g JOIN hot USING (gram)
+            WHERE g.doc_id * 1000000 + g.pos <> hot.firstkey
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, pos + j AS idx
+            FROM cut, unnest(range(0, 8)) AS r(j)
+        ),
+        tok AS (
+            SELECT doc_id, i - 1 AS idx, toks[i] AS tok
+            FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+        ),
+        kept AS (
+            SELECT tok.doc_id, tok.idx, tok.tok
+            FROM tok LEFT JOIN covered
+              ON tok.doc_id = covered.doc_id AND tok.idx = covered.idx
+            WHERE covered.idx IS NULL
+        ),
+        agg AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_clean,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(agg.text_clean, '') AS text_clean,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_cut
+        FROM t LEFT JOIN agg USING (doc_id)
     """
     return sql
 

@@ -536,3 +536,63 @@ def duplicate_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def cut_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """The cut step of exact-substring dedup (Lee et al. 2022): every
+    k-token window occurring in >= ``min_docs`` distinct documents keeps
+    exactly its globally-first occurrence — smallest (doc, pos) — and every
+    other occurrence's k tokens are removed, overlapping removals merged.
+    Returns (doc, text_clean, n_tokens, n_cut); documents without hot
+    windows pass through with n_cut = 0.
+
+    Scale posture: same hashed-window explode as ``duplicate_spans``; the
+    hot-window winner is a map-side-combinable min-of-struct agg (the
+    paragraph_dedup discipline); losing positions ride ONE doc-keyed
+    shuffle as (doc, int) pairs and come back as a bounded per-doc array
+    (positions within one document). The token mask and text rebuild are
+    JVM array lambdas — no Python, no payload exchange: document text
+    never rides a shuffle; only 8-byte keys and int positions do.
+    """
+    toks_col = tokens(F.col(text_col))
+    keyed = df.select(
+        F.col(id_col).alias("doc"),
+        toks_col.alias("toks"),
+        word_ngram_hashes(toks_col, k).alias("keys"),
+    )
+    win = keyed.select("doc", F.posexplode("keys").alias("pos", "key"))
+    hot = (
+        win.groupBy("key")
+        .agg(
+            F.count_distinct("doc").alias("_nd"),
+            F.min(F.struct("doc", "pos")).alias("first"),
+        )
+        .where(F.col("_nd") >= min_docs)
+        .select("key", "first")
+    )
+    losers = (
+        win.join(hot, "key")
+        .where(
+            ~(
+                (F.col("doc") == F.col("first.doc"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .groupBy("doc")
+        .agg(F.collect_set("pos").alias("cuts"))
+    )
+    out = keyed.join(losers, "doc", "left").withColumn(
+        "cuts", F.coalesce("cuts", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        "toks",
+        lambda t, i: ~F.exists("cuts", lambda s: (s <= i) & (i < s + k)),
+    )
+    return out.select(
+        "doc",
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_cut"),
+    )

@@ -330,3 +330,39 @@ def test_duplicate_spans_min_docs_threshold(spark):
         for r in duplicate_spans(df, "doc_id", "text", k=4, min_docs=1).collect()
     }
     assert out1[3] == 2  # both positions of the z-window count
+
+
+def test_cut_duplicate_spans(spark):
+    """The cut keeps the globally-first occurrence (min (doc, pos)) of a
+    hot window and removes every other occurrence, merging overlaps."""
+    from gtfsrt2lc_spark.operators.dedup import cut_duplicate_spans
+
+    rows = [
+        (1, "a b c d x y z"),           # owns the window at (1, 0)
+        (2, "p q a b c d r a b c d"),   # loses both occurrences
+        (3, "u v w only here"),         # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc"]: (r["text_clean"], r["n_tokens"], r["n_cut"])
+        for r in cut_duplicate_spans(df, "doc_id", "text", k=4).collect()
+    }
+    assert got[1] == ("a b c d x y z", 7, 0)
+    assert got[2] == ("p q r", 11, 8)
+    assert got[3] == ("u v w only here", 5, 0)
+
+
+def test_cut_duplicate_spans_text_never_shuffles(spark):
+    """Only 8-byte window keys and int positions ride exchanges — at corpus
+    scale the token arrays ARE the corpus."""
+    from gtfsrt2lc_spark.operators.dedup import cut_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h z z")],
+        "doc_id int, text string",
+    )
+    out = cut_duplicate_spans(df, "doc_id", "text", k=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "toks" not in line and "text" not in line, line

@@ -1414,6 +1414,65 @@ def q_duplicate_spans(spark, sf_dir):
     )
 
 
+def _doc_graph_edges(spark, sf_dir):
+    """Deterministic directed doc graph for the graph-analytics queries:
+    chain edges (doc_id -> doc_id+1 when both share a lang, the
+    connected_components fixture graph) plus hub edges
+    (doc_id -> doc_id % 25 for doc_id >= 25) — every 25th doc becomes a
+    high-in-degree hub, the head-entity skew shape the north rule calls
+    out. Disjoint by construction (chain dst > src, hub dst < src), so
+    UNION ALL on both sides."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    a = d.select(F.col("doc_id").alias("src"), F.col("lang").alias("lang_a"))
+    b = d.select(
+        (F.col("doc_id") - 1).alias("src"),
+        F.col("doc_id").alias("dst"),
+        F.col("lang").alias("lang_b"),
+    )
+    chain = (
+        a.join(b, "src").where(F.col("lang_a") == F.col("lang_b")).select("src", "dst")
+    )
+    hubs = d.where(F.col("doc_id") >= 25).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") % 25).alias("dst")
+    )
+    return chain.unionByName(hubs)
+
+
+_DOC_GRAPH_SQL = """
+    chain AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.lang = b.lang
+    ), hubs AS (
+        SELECT doc_id AS src, doc_id % 25 AS dst FROM documents WHERE doc_id >= 25
+    ), edges AS (
+        SELECT * FROM chain UNION ALL SELECT * FROM hubs
+    )"""
+
+
+def q_entity_degree(spark, sf_dir):
+    """Per-vertex in/out degree over the entity graph
+    (operators/graph.degrees): the triple-store fan-out profile a KG
+    consumer reads first. Two map-side-combinable counts + one outer
+    merge join; vertex keys and longs only."""
+    from gtfsrt2lc_spark.operators.graph import degrees
+
+    return degrees(_doc_graph_edges(spark, sf_dir))
+
+
+def q_entity_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the entity graph
+    (operators/graph.pagerank, 3 iterations, damping 0.85): entity
+    salience over the materialized triple store. One shuffle per
+    iteration on narrow (vertex, double) frames; lineage truncated via
+    localCheckpoint on long runs. The DuckDB oracle unrolls the same
+    three steps, so values verify to 6 decimals."""
+    from gtfsrt2lc_spark.operators.graph import pagerank
+
+    ranks = pagerank(_doc_graph_edges(spark, sf_dir), iterations=3, damping=0.85)
+    return ranks.select("vertex", F.round("rank", 6).alias("rank"))
+
+
 # repair recurrence fixture constants (shared by the Spark query and the
 # DuckDB oracle generator): a 40x40 (grp, seq) grid derived from event_id
 _REPAIR_DAY0 = 1_700_000_000
@@ -1621,6 +1680,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added r6 (tail; rotation candidate for r7): the dedup CUT —
         # rebuilt cleaned text verified byte-exactly by the oracle
         "cut_spans": q_cut_spans,
+        # added r6 (tail; rotation candidate for r7): triple-store graph
+        # analytics — degree profile + fixed-iteration PageRank salience
+        # (operators/graph.py)
+        "entity_degree": q_entity_degree,
+        "entity_pagerank": q_entity_pagerank,
     }
 
 
@@ -3052,6 +3116,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(len(toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_cut
         FROM t LEFT JOIN agg USING (doc_id)
+    """
+    sql["entity_degree"] = f"""
+        WITH {_DOC_GRAPH_SQL},
+        outd AS (SELECT src AS vertex, COUNT(*) AS od FROM edges GROUP BY src),
+        ind AS (SELECT dst AS vertex, COUNT(*) AS id_ FROM edges GROUP BY dst)
+        SELECT COALESCE(outd.vertex, ind.vertex) AS vertex,
+               CAST(COALESCE(od, 0) AS BIGINT) AS out_degree,
+               CAST(COALESCE(id_, 0) AS BIGINT) AS in_degree
+        FROM outd FULL OUTER JOIN ind ON outd.vertex = ind.vertex
+    """
+    # the same three power-method steps the Spark loop runs, unrolled:
+    # rank_t(v) = 0.15 + 0.85 * sum(rank_{t-1}(u) / out_degree(u)); the
+    # fixed iteration count keeps PageRank an exact SQL function of the
+    # edges (round 6 damps float summation-order noise on both sides)
+    _pr_step = """
+        SELECT verts.vertex,
+               0.15 + 0.85 * COALESCE(s.contrib, 0.0) AS rank
+        FROM verts LEFT JOIN (
+            SELECT e.dst AS vertex, SUM(r.rank / outd.od) AS contrib
+            FROM edges e
+            JOIN {prev} r ON r.vertex = e.src
+            JOIN outd ON outd.src = e.src
+            GROUP BY e.dst
+        ) s ON s.vertex = verts.vertex
+    """
+    sql["entity_pagerank"] = f"""
+        WITH {_DOC_GRAPH_SQL},
+        verts AS (
+            SELECT src AS vertex FROM edges
+            UNION SELECT dst AS vertex FROM edges
+        ),
+        outd AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+        r0 AS (SELECT vertex, 1.0 AS rank FROM verts),
+        r1 AS ({_pr_step.format(prev='r0')}),
+        r2 AS ({_pr_step.format(prev='r1')}),
+        r3 AS ({_pr_step.format(prev='r2')})
+        SELECT vertex, ROUND(rank, 6) AS rank FROM r3
     """
     return sql
 

@@ -539,7 +539,12 @@ def duplicate_spans(
 
 
 def cut_duplicate_spans(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8, min_docs: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    broadcast_cuts: bool = True,
 ) -> DataFrame:
     """The cut step of exact-substring dedup (Lee et al. 2022): every
     k-token window occurring in >= ``min_docs`` distinct documents keeps
@@ -553,8 +558,20 @@ def cut_duplicate_spans(
     paragraph_dedup discipline); losing positions ride ONE doc-keyed
     shuffle as (doc, int) pairs and come back as a bounded per-doc array
     (positions within one document). The token mask and text rebuild are
-    JVM array lambdas — no Python, no payload exchange: document text
-    never rides a shuffle; only 8-byte keys and int positions do.
+    JVM array lambdas — no Python.
+
+    The rebuild join (``broadcast_cuts``): bringing per-doc cut arrays back
+    to the token rows is an equi-join on doc, and if Spark picks sort-merge
+    for it the TOKEN ARRAYS of every document ride the exchange — the
+    payload-leak signature the forensics gate flags. ``broadcast_cuts=True``
+    (default) forces a broadcast of the cuts frame — (doc, array<int>) for
+    AFFECTED docs only — so document text never leaves its scan partitions.
+    On corpora where most documents carry cuts (boilerplate-heavy web text)
+    that frame can outgrow the driver: pass ``broadcast_cuts=False`` to
+    take the one doc-keyed payload shuffle instead — the same byte volume a
+    cleaned-corpus rewrite moves anyway, and the honest floor once the cut
+    set itself is corpus-scale (Lee et al.'s suffix-array pipeline globally
+    sorts every byte; one partitioned exchange is strictly cheaper).
     """
     toks_col = tokens(F.col(text_col))
     keyed = df.select(
@@ -583,9 +600,9 @@ def cut_duplicate_spans(
         .groupBy("doc")
         .agg(F.collect_set("pos").alias("cuts"))
     )
-    out = keyed.join(losers, "doc", "left").withColumn(
-        "cuts", F.coalesce("cuts", F.array().cast("array<int>"))
-    )
+    out = keyed.join(
+        F.broadcast(losers) if broadcast_cuts else losers, "doc", "left"
+    ).withColumn("cuts", F.coalesce("cuts", F.array().cast("array<int>")))
     kept = F.filter(
         "toks",
         lambda t, i: ~F.exists("cuts", lambda s: (s <= i) & (i < s + k)),

@@ -366,3 +366,26 @@ def test_cut_duplicate_spans_text_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "toks" not in line and "text" not in line, line
+
+
+def test_cut_duplicate_spans_broadcast_fallback_equivalence(spark):
+    """broadcast_cuts=False (the corpus-scale-cut-set escape hatch) must
+    produce identical output to the broadcast default, and only the default
+    may keep token arrays out of exchanges."""
+    from gtfsrt2lc_spark.operators.dedup import cut_duplicate_spans
+
+    rows = [
+        (1, "a b c d x y z"),
+        (2, "p q a b c d r a b c d"),
+        (3, "u v w only here"),
+        (4, "a b c d x y z tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    bcast = cut_duplicate_spans(df, "doc_id", "text", k=4)
+    shuf = cut_duplicate_spans(df, "doc_id", "text", k=4, broadcast_cuts=False)
+    key = lambda r: r["doc"]  # noqa: E731
+    assert sorted(bcast.collect(), key=key) == sorted(shuf.collect(), key=key)
+    # the default holds its no-payload-exchange contract by PLAN, not by
+    # AQE's threshold mood: the cuts join must be a broadcast join
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

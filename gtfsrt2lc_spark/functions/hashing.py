@@ -115,13 +115,24 @@ def word_ngram_hashes(toks: Column, n: int) -> Column:
     hash never reaches the output (e.g. decontamination, which counts
     distinct grams per doc), so a string-gram oracle still verifies the
     result exactly.
+
+    Inline-safety (why arrays_zip, not element_at): the original shape —
+    transform(sequence(...), i -> xxhash64(element_at(toks, i), ...,
+    element_at(toks, i+n-1))) — references the OUTER ``toks`` column n
+    times inside the lambda. Catalyst freely substitutes aliases into
+    lambdas (CollapseProject over Generate inputs, predicate pushdown), so
+    when ``toks`` is itself an expression (filter(split(text))) each
+    element_at re-tokenizes the whole document: O(tokens^2 * n) per row,
+    interpreted. A 50k-page corpus scan went from un-finishable (>380 s to
+    COUNT) to seconds by zipping n shifted slices instead — the lambda
+    touches only its own struct variable, so no optimizer rewrite can
+    re-inline the tokenizer into the per-window hot loop; the slices
+    evaluate ``toks`` a fixed n times per ROW, linear regardless of
+    context.
     """
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, width) for j in range(n)])
     return F.when(
         F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.xxhash64(
-                *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
-            ),
-        ),
+        F.transform(zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(n)])),
     ).otherwise(F.array().cast("array<bigint>"))

@@ -506,10 +506,27 @@ def duplicate_spans(
     the output, so a string-gram oracle verifies results exactly
     (functions/hashing.word_ngram_hashes contract).
     """
-    toks = tokens(F.col(text_col))
-    keyed = df.select(
-        F.col(id_col).alias("doc"), word_ngram_hashes(toks, k).alias("keys")
-    ).where(F.size("keys") > 0)
+    # Materialize the token array behind its own projection BEFORE the
+    # n-gram lambda: word_ngram_hashes does k element_at lookups per
+    # window, and with the tokenizer inlined each lookup re-evaluates
+    # split+filter over the whole text — O(tokens^2 * k) per document
+    # (interpreted HOFs, no codegen). The projection boundary survives
+    # CollapseProject because duplicating a non-cheap expression k times
+    # is exactly what that rule refuses to do; measured on the 50k-page
+    # bench corpus (282 tokens/doc avg) this is the difference between
+    # 4 minutes-and-counting and seconds.
+    # The >= k-tokens filter must NOT be phrased as size(keys) > 0:
+    # predicate pushdown substitutes the alias into the pushed filter, so
+    # the scan-level predicate would re-evaluate the whole n-gram lambda —
+    # tokenizer inlined k times — per row (measured: 380 s just to COUNT
+    # the 50k-page corpus). size(_toks) >= k is the same predicate
+    # (word_ngram_hashes returns [] below k tokens) and inlines as one
+    # tokenizer pass.
+    keyed = (
+        df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks"))
+        .where(F.size("_toks") >= k)
+        .select("doc", word_ngram_hashes(F.col("_toks"), k).alias("keys"))
+    )
     win = keyed.select("doc", F.explode("keys").alias("key"))
     hot = (
         win.select("key", "doc")
@@ -573,12 +590,12 @@ def cut_duplicate_spans(
     set itself is corpus-scale (Lee et al.'s suffix-array pipeline globally
     sorts every byte; one partitioned exchange is strictly cheaper).
     """
-    toks_col = tokens(F.col(text_col))
+    # token array materialized behind a projection boundary (see
+    # duplicate_spans: the inlined tokenizer re-runs per element_at inside
+    # the n-gram lambda otherwise — O(tokens^2 * k) per document)
     keyed = df.select(
-        F.col(id_col).alias("doc"),
-        toks_col.alias("toks"),
-        word_ngram_hashes(toks_col, k).alias("keys"),
-    )
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
+    ).select("doc", "toks", word_ngram_hashes(F.col("toks"), k).alias("keys"))
     win = keyed.select("doc", F.posexplode("keys").alias("pos", "key"))
     hot = (
         win.groupBy("key")
@@ -603,13 +620,48 @@ def cut_duplicate_spans(
     out = keyed.join(
         F.broadcast(losers) if broadcast_cuts else losers, "doc", "left"
     ).withColumn("cuts", F.coalesce("cuts", F.array().cast("array<int>")))
-    kept = F.filter(
-        "toks",
-        lambda t, i: ~F.exists("cuts", lambda s: (s <= i) & (i < s + k)),
+    # Linear rebuild. The obvious per-token mask — filter(toks, i ->
+    # !exists(cuts, s -> s <= i < s+k)) — is O(tokens * cuts) per document
+    # in interpreted HOF evaluation, quadratic on boilerplate-heavy text
+    # where cuts ~ tokens (a 50k-page corpus never finished). Instead,
+    # because every cut interval has the same length k, sorted cut
+    # positions merge into maximal runs wherever consecutive cuts are
+    # < k apart; the kept text is the concatenation of the inter-run
+    # slices — O(tokens + cuts) array ops per document, all JVM-side.
+    cs = F.array_sort("cuts")
+    T = F.size("toks")
+    nc = F.size(cs)
+    idx = F.sequence(F.lit(0), nc - 1)
+    # run starts: first cut, or gap >= k from the previous cut
+    # (F.get(cs, -1) is null -> null comparison -> filtered out, so the
+    # i == 0 disjunct alone admits the first index)
+    starts = F.transform(
+        F.filter(idx, lambda i: (i == 0) | (F.get(cs, i) - F.get(cs, i - 1) >= k)),
+        lambda i: F.get(cs, i),
+    )
+    # run ends: last cut of each run, covering through cut + k (capped at T)
+    ends = F.transform(
+        F.filter(idx, lambda i: (i == nc - 1) | (F.get(cs, i + 1) - F.get(cs, i) >= k)),
+        lambda i: F.least(F.get(cs, i) + k, T),
+    )
+    # kept = toks[0:starts[0]] ++ toks[ends[0]:starts[1]] ++ ... ++ toks[ends[m-1]:T]
+    prev_ends = F.concat(F.array(F.lit(0)), ends)
+    next_starts = F.concat(starts, F.array(T))
+    kept = F.when(nc == 0, F.col("toks")).otherwise(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size(starts)),
+                lambda j: F.slice(
+                    "toks",
+                    F.get(prev_ends, j) + 1,
+                    F.greatest(F.get(next_starts, j) - F.get(prev_ends, j), F.lit(0)),
+                ),
+            )
+        )
     )
     return out.select(
         "doc",
         F.array_join(kept, " ").alias("text_clean"),
-        F.size("toks").cast("long").alias("n_tokens"),
-        (F.size("toks") - F.size(kept)).cast("long").alias("n_cut"),
+        T.cast("long").alias("n_tokens"),
+        (T - F.size(kept)).cast("long").alias("n_cut"),
     )

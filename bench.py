@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "sequence_packing",
     "corpus_clean",
     "neardup_clusters",
+    "cut_spans",
+    "entity_pagerank",
     "alignment_pass",
     "ann_cosine_topk",
     "svo_extract",

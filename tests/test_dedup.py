@@ -389,3 +389,26 @@ def test_cut_duplicate_spans_broadcast_fallback_equivalence(spark):
     # AQE's threshold mood: the cuts join must be a broadcast join
     plan = bcast._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_word_ngram_plans_never_reinline_the_tokenizer(spark):
+    """Regression: Catalyst substitutes aliases into lambda bodies
+    (pushdown, CollapseProject over Generate), and the old element_at
+    n-gram shape let that re-run split+filter k times per window -
+    O(tokens^2 * k) per row, >380 s to COUNT a 50k-page corpus. The
+    arrays_zip shape bounds tokenizer evaluations to a constant per plan
+    BRANCH: assert the optimized plans carry far fewer split() subtrees
+    than the k=8 the inlined shape would show per branch."""
+    from gtfsrt2lc_spark.operators.dedup import cut_duplicate_spans, duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, "w%d a b c d e f g h i j k l" % i) for i in range(4)],
+        "doc_id int, text string",
+    )
+    for out in (
+        duplicate_spans(df, "doc_id", "text", k=8),
+        cut_duplicate_spans(df, "doc_id", "text", k=8),
+    ):
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        n_split = plan.count("split(")
+        assert n_split < 8, f"tokenizer re-inlined {n_split} times:\n{plan[:2000]}"

@@ -673,15 +673,18 @@ def q_source_stats(spark, sf_dir):
 
 
 def _word_ngrams(toks, n: int):
-    """array<string> of space-joined word n-grams (empty when < n tokens)."""
+    """array<string> of space-joined word n-grams (empty when < n tokens).
+
+    Inline-safe shape (functions/hashing.word_ngram_hashes discipline):
+    zip n shifted slices and join the struct fields — a lambda that
+    element_at's the OUTER toks column lets Catalyst substitute the
+    tokenizer into the per-window loop (O(tokens^2 * n) per row) when
+    toks is an expression rather than a stored column."""
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, width) for j in range(n)])
     return F.when(
         F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
-            ),
-        ),
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])),
     ).otherwise(F.array().cast("array<string>"))
 
 

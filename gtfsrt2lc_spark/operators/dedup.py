@@ -426,13 +426,22 @@ def paragraph_dedup(
     aggregation; distinct paragraphs colliding on sha2-256 is
     cryptographically negligible.
     """
+    # Inline-safe chunking (word_ngram_hashes discipline): the obvious
+    # lambda — transform(sequence(...), i -> array_join(slice(words,
+    # i*window+1, window))) — embeds the split expression once per slice
+    # reference, re-tokenizing per CHUNK: O(tokens^2 / window) per row.
+    # Instead zip `window` shifted full-length slices (arrays_zip pads the
+    # shorter ones with null), keep every window-th struct, and concat_ws
+    # the fields (null-skipping reproduces the partial tail chunk) — the
+    # lambdas touch only their own variables.
     words = F.split(F.col(text_col), " ")
-    n_chunks = F.ceil(F.size(words) / window).cast("int")
+    T = F.size(words)
+    zipped = F.arrays_zip(*[F.slice(words, j + 1, T) for j in range(window)])
     chunks = F.when(
-        F.size(words) > 0,
+        T > 0,
         F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(words, i * window + 1, window), " "),
+            F.filter(zipped, lambda s, i: i % window == 0),
+            lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(window)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
     paras = df.select(
@@ -457,15 +466,23 @@ def ngram_jaccard(
     df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, n: int = 1
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for given candidate (doc_a, doc_b) pairs."""
+    # inline-safe gram construction (word_ngram_hashes discipline): zip n
+    # shifted slices rather than element_at'ing the outer token expression
+    # inside the lambda — Catalyst would substitute the tokenizer into the
+    # per-window loop (O(tokens^2 * n) per row). Docs shorter than n
+    # tokens yield no grams.
     toks = tokens(F.col(text_col))
-    grams = (
-        toks
-        if n == 1
-        else F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
-        )
-    )
+    if n == 1:
+        grams = toks
+    else:
+        width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        zipped = F.arrays_zip(*[F.slice(toks, j + 1, width) for j in range(n)])
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     sets = df.select(F.col(id_col).alias("doc"), F.array_distinct(grams).alias("grams"))
     j = (
         pairs.join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("grams", "g_a"), "doc_a")

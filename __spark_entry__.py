@@ -1476,6 +1476,36 @@ def q_entity_pagerank(spark, sf_dir):
     return ranks.select("vertex", F.round("rank", 6).alias("rank"))
 
 
+def q_triple_diff(spark, sf_dir):
+    """Re-crawl KG delta (operators/graph.triple_diff): SVO triples
+    extracted from the 'old' crawl (even doc_ids) vs the 'new' crawl
+    (doc_id % 3 != 0) meet in ONE full-outer join on the distinct triple
+    key -> (subj, pred, obj, status in added/removed/kept) — the
+    whole-snapshot generalization of the per-key differential history
+    store (plans/gtfs.py:542)."""
+    from gtfsrt2lc_spark.operators.graph import triple_diff
+
+    d = _t(spark, sf_dir, "documents")
+
+    def tri(dd):
+        p = F.lit(_SVO_PATTERN)
+        z = F.arrays_zip(
+            F.regexp_extract_all(F.col("text"), p, 1).alias("s"),
+            F.regexp_extract_all(F.col("text"), p, 2).alias("p"),
+            F.regexp_extract_all(F.col("text"), p, 3).alias("o"),
+        )
+        m = dd.select(F.explode(z).alias("m"))
+        return m.select(
+            F.concat(F.lit("http://example.org/kg/entity/"), F.col("m.s")).alias("subj"),
+            F.concat(F.lit("http://example.org/kg/ontology#"), F.col("m.p")).alias("pred"),
+            F.concat(F.lit("http://example.org/kg/entity/"), F.col("m.o")).alias("obj"),
+        )
+
+    old = tri(d.where(F.col("doc_id") % 2 == 0))
+    new = tri(d.where(F.col("doc_id") % 3 != 0))
+    return triple_diff(old, new)
+
+
 # repair recurrence fixture constants (shared by the Spark query and the
 # DuckDB oracle generator): a 40x40 (grp, seq) grid derived from event_id
 _REPAIR_DAY0 = 1_700_000_000
@@ -1688,6 +1718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (operators/graph.py)
         "entity_degree": q_entity_degree,
         "entity_pagerank": q_entity_pagerank,
+        # added r6 (tail; rotation candidate for r7): re-crawl KG snapshot
+        # delta — one full-outer join instead of an anti-join pair
+        "triple_diff": q_triple_diff,
     }
 
 
@@ -3156,6 +3189,33 @@ def oracle_sql() -> dict[str, str]:
         r2 AS ({_pr_step.format(prev='r1')}),
         r3 AS ({_pr_step.format(prev='r2')})
         SELECT vertex, ROUND(rank, 6) AS rank FROM r3
+    """
+    sql["triple_diff"] = """
+        WITH m AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '(\\w+) (join|merge|scan|sort) (\\w+)', 1)) AS s,
+                   unnest(regexp_extract_all(text, '(\\w+) (join|merge|scan|sort) (\\w+)', 2)) AS p,
+                   unnest(regexp_extract_all(text, '(\\w+) (join|merge|scan|sort) (\\w+)', 3)) AS o
+            FROM documents
+        ), t AS (
+            SELECT doc_id,
+                   'http://example.org/kg/entity/' || s AS subj,
+                   'http://example.org/kg/ontology#' || p AS pred,
+                   'http://example.org/kg/entity/' || o AS obj
+            FROM m
+        ), old AS (
+            SELECT DISTINCT subj, pred, obj FROM t WHERE doc_id % 2 = 0
+        ), new AS (
+            SELECT DISTINCT subj, pred, obj FROM t WHERE doc_id % 3 <> 0
+        )
+        SELECT COALESCE(old.subj, new.subj) AS subj,
+               COALESCE(old.pred, new.pred) AS pred,
+               COALESCE(old.obj, new.obj) AS obj,
+               CASE WHEN old.subj IS NULL THEN 'added'
+                    WHEN new.subj IS NULL THEN 'removed'
+                    ELSE 'kept' END AS status
+        FROM old FULL OUTER JOIN new
+          ON old.subj = new.subj AND old.pred = new.pred AND old.obj = new.obj
     """
     return sql
 

@@ -35,6 +35,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot delta of two triple stores: (subj, pred, obj, status) with
+    status in {added, removed, kept} — the re-crawl maintenance question
+    ("what changed in the KG between two crawls") a consumer of the
+    incremental manifest asks next (ref analog: the differential history
+    store that emits only changed connections per feed poll,
+    `lib/Gtfsrt2LC.js:545-560` / `plans/gtfs.py:542` — generalized from
+    per-key last-state to whole-snapshot set algebra).
+
+    Scale posture: both sides reduce to DISTINCT (s, p, o) then meet in a
+    single full-outer sort-merge join on all three columns — one shuffle
+    per side on the triple key, no payload beyond the triple itself, and
+    co-partitioned storage (bucketed by subj) lets AQE elide the exchange
+    entirely. Status is derived from null-sides, so the plan is exactly
+    the anti-join pair a naive added/removed formulation would run twice,
+    at half the cost.
+    """
+    o = old.select("subj", "pred", "obj").distinct().withColumn("_o", F.lit(1))
+    n = new.select("subj", "pred", "obj").distinct().withColumn("_n", F.lit(1))
+    return (
+        o.join(n, ["subj", "pred", "obj"], "full_outer")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.when(F.col("_o").isNull(), F.lit("added"))
+            .when(F.col("_n").isNull(), F.lit("removed"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """Per-vertex (vertex, out_degree, in_degree) over an edge list.
 

@@ -77,3 +77,22 @@ def test_pagerank_hub_ranks_highest_on_skewed_graph(spark):
     ranks = {r["vertex"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
     assert max(ranks, key=ranks.get) == "hub"
     assert ranks["hub"] > 5 * ranks["v2"]
+
+
+def test_triple_diff_statuses(spark):
+    from gtfsrt2lc_spark.operators.graph import triple_diff
+
+    old = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "p", "y"), ("a", "p", "y")],  # dup collapses
+        ["subj", "pred", "obj"],
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "y"), ("b", "q", "z")], ["subj", "pred", "obj"]
+    )
+    got = {(r["subj"], r["pred"], r["obj"]): r["status"]
+           for r in triple_diff(old, new).collect()}
+    assert got == {
+        ("a", "p", "x"): "removed",
+        ("a", "p", "y"): "kept",
+        ("b", "q", "z"): "added",
+    }

@@ -1469,11 +1469,21 @@ def q_entity_pagerank(spark, sf_dir):
     salience over the materialized triple store. One shuffle per
     iteration on narrow (vertex, double) frames; lineage truncated via
     localCheckpoint on long runs. The DuckDB oracle unrolls the same
-    three steps, so values verify to 6 decimals."""
+    three steps.
+
+    Output is an integer MICRO-rank, floor(rank * 1e6 + 0.5): the ranks
+    are small-denominator rationals that land exactly ON 1e-6 rounding
+    boundaries (e.g. 2.5863125), where Spark's BigDecimal HALF_UP round()
+    and DuckDB's multiply-based ROUND disagree by one ulp of decimal.
+    The same explicit float arithmetic on both sides is deterministic
+    whenever the underlying doubles agree bitwise."""
     from gtfsrt2lc_spark.operators.graph import pagerank
 
     ranks = pagerank(_doc_graph_edges(spark, sf_dir), iterations=3, damping=0.85)
-    return ranks.select("vertex", F.round("rank", 6).alias("rank"))
+    return ranks.select(
+        "vertex",
+        F.floor(F.col("rank") * 1e6 + F.lit(0.5)).cast("long").alias("rank_e6"),
+    )
 
 
 def q_triple_diff(spark, sf_dir):
@@ -3188,7 +3198,9 @@ def oracle_sql() -> dict[str, str]:
         r1 AS ({_pr_step.format(prev='r0')}),
         r2 AS ({_pr_step.format(prev='r1')}),
         r3 AS ({_pr_step.format(prev='r2')})
-        SELECT vertex, ROUND(rank, 6) AS rank FROM r3
+        SELECT vertex,
+               CAST(FLOOR(rank * 1e6 + 0.5) AS BIGINT) AS rank_e6
+        FROM r3
     """
     sql["triple_diff"] = """
         WITH m AS (

@@ -1634,6 +1634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail seven entries driver-green five consecutive rounds r1-r5
     # (semi_join, anti_join, pairwise_lead, locf, enum_decode, date_format,
     # duration_parse — all also pinned by pytest and tail-oracle checks).
+    # r7 rotation candidates (never driver-checked, added r6):
+    # decontaminate_hashed, url_canonicalize, url_dedup, duplicate_spans,
+    # cut_spans, entity_degree, entity_pagerank, triple_diff.
     return {
         # relational core
         "pricing_summary": q_pricing_summary,

@@ -913,17 +913,31 @@ def q_embedding_neardup(spark, sf_dir):
 _SVO_PATTERN = r"(\w+) (join|merge|scan|sort) (\w+)"
 
 
+def _svo_matches(text_col):
+    """(s, p, o) struct array from ONE regex pass over the text.
+
+    ``regexp_extract_all(.., 0)`` runs the SVO pattern once per document and
+    keeps whole matches; splitting each match on ' ' recovers the three
+    groups exactly because ``\\w+`` and the verb alternation can never
+    contain a space. The previous shape ran regexp_extract_all three times
+    (once per group) — three full regex scans of every document where one
+    suffices (guide §1.2 per-task work; measured 2-3x on svo_extract)."""
+    m0 = F.regexp_extract_all(text_col, F.lit(_SVO_PATTERN), 0)
+    return F.transform(
+        m0,
+        lambda t: F.struct(
+            F.split(t, " ")[0].alias("s"),
+            F.split(t, " ")[1].alias("p"),
+            F.split(t, " ")[2].alias("o"),
+        ),
+    )
+
+
 def q_svo_extract(spark, sf_dir):
     """SVO triple extraction via regex over document text (ref W9 analog:
     record -> fact expansion), minted to IRIs and deduplicated."""
     d = _t(spark, sf_dir, "documents")
-    p = F.lit(_SVO_PATTERN)
-    z = F.arrays_zip(
-        F.regexp_extract_all(F.col("text"), p, 1).alias("s"),
-        F.regexp_extract_all(F.col("text"), p, 2).alias("p"),
-        F.regexp_extract_all(F.col("text"), p, 3).alias("o"),
-    )
-    m = d.select("doc_id", F.explode(z).alias("m"))
+    m = d.select("doc_id", F.explode(_svo_matches(F.col("text"))).alias("m"))
     return (
         m.select(
             F.concat(F.lit("http://example.org/kg/entity/"), F.col("m.s")).alias("subj"),
@@ -954,13 +968,7 @@ def q_kg_pipeline_docs(spark, sf_dir):
         "utf-8",
     )
     pages = d.select("doc_id", extract_text_udf(html).alias("etext"))
-    p = F.lit(_SVO_PATTERN)
-    z = F.arrays_zip(
-        F.regexp_extract_all(F.col("etext"), p, 1).alias("s"),
-        F.regexp_extract_all(F.col("etext"), p, 2).alias("p"),
-        F.regexp_extract_all(F.col("etext"), p, 3).alias("o"),
-    )
-    m = pages.select("doc_id", F.explode(z).alias("m"))
+    m = pages.select("doc_id", F.explode(_svo_matches(F.col("etext"))).alias("m"))
     return (
         m.select(
             "doc_id",
@@ -1298,9 +1306,19 @@ def q_corpus_clean(spark, sf_dir):
     chain: every document's raw text is unique because of its PII, yet
     documents identical up to PII still collapse in the dedup — the reason
     real pipelines scrub before dedup. Output: surviving docs with quality
-    and scrubbed length."""
+    and scrubbed length.
+
+    Dedup shape: the output only needs (doc_id, quality, clean_len), so the
+    expensive gate+scrub chain is projected down to that narrow frame (plus
+    the sha2 content digest) ONCE, and the min-doc_id winner per digest is
+    a single row_number window over the narrow frame — one exchange of
+    ~80-byte rows. The general dedup_exact operator's winner-agg + semi-join
+    shape exists to keep a WIDE payload off the exchange; here it would
+    evaluate the tokenize/regex chain twice (once per join side) and run two
+    exchanges for no payload savings (guide §2.3/§2.4; measured ~2x). Same
+    survivors: doc_id is unique, so min-per-digest == row_number 1 ordered
+    by doc_id, with the identical coalesce('' ) NULL-digest sentinel."""
     from gtfsrt2lc_spark.functions.scrub import redact_pii
-    from gtfsrt2lc_spark.operators.dedup import dedup_exact
 
     d = _t(spark, sf_dir, "documents")
     gated = d.select(
@@ -1311,8 +1329,17 @@ def q_corpus_clean(spark, sf_dir):
         "doc_id", "quality",
         redact_pii(_pii_injected(F.col("text"), F.col("doc_id"))).alias("clean"),
     )
-    return dedup_exact(scrubbed, "clean", "doc_id").select(
-        "doc_id", "quality", F.length("clean").cast("long").alias("clean_len")
+    narrow = scrubbed.select(
+        "doc_id",
+        "quality",
+        F.coalesce(F.sha2(F.col("clean").cast("binary"), 256), F.lit("")).alias("_dig"),
+        F.length("clean").cast("long").alias("clean_len"),
+    )
+    w = Window.partitionBy("_dig").orderBy("doc_id")
+    return (
+        narrow.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "quality", "clean_len")
     )
 
 
@@ -1498,13 +1525,7 @@ def q_triple_diff(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
 
     def tri(dd):
-        p = F.lit(_SVO_PATTERN)
-        z = F.arrays_zip(
-            F.regexp_extract_all(F.col("text"), p, 1).alias("s"),
-            F.regexp_extract_all(F.col("text"), p, 2).alias("p"),
-            F.regexp_extract_all(F.col("text"), p, 3).alias("o"),
-        )
-        m = dd.select(F.explode(z).alias("m"))
+        m = dd.select(F.explode(_svo_matches(F.col("text"))).alias("m"))
         return m.select(
             F.concat(F.lit("http://example.org/kg/entity/"), F.col("m.s")).alias("subj"),
             F.concat(F.lit("http://example.org/kg/ontology#"), F.col("m.p")).alias("pred"),

@@ -363,12 +363,24 @@ def neardup_pairs_embedding(
         _bucket_structs,
         _hyperplanes,
         _with_constant_table,
-        cosine,
+        dot,
+        norm,
     )
 
+    # norms fold once per vector in the projections below the pair join,
+    # not once per candidate pair (similarity.brute_force_topk discipline);
+    # arithmetic and order identical to cosine(), so values are bit-equal.
     if method == "exact":
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+        a = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("v_a"),
+            norm(F.col(vec_col)).alias("_na"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("v_b"),
+            norm(F.col(vec_col)).alias("_nb"),
+        )
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
         if dim is None:
@@ -392,15 +404,36 @@ def neardup_pairs_embedding(
             .where(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
-        vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        vecs = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("_n"),
+        )
         cand = (
-            cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
-            .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+            cand.join(
+                vecs.select(
+                    F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                    F.col("_n").alias("_na"),
+                ),
+                "id_a",
+            )
+            .join(
+                vecs.select(
+                    F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                    F.col("_n").alias("_nb"),
+                ),
+                "id_b",
+            )
         )
     else:
         raise ValueError(f"unknown method {method!r}")
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        cand.withColumn(
+            "cos",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("_na") * F.col("_nb")), 6
+            ),
+        )
         .where(F.col("cos") >= cos_threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -417,36 +450,48 @@ def paragraph_dedup(
     Inputs here are unpunctuated synthetic text, so a "paragraph" is a
     fixed ``window``-word chunk; on real corpora pass pre-split paragraphs.
 
-    Scale posture: one keyed shuffle on a 256-bit paragraph DIGEST (the
+    Scale posture: one keyed shuffle on a 64-bit paragraph KEY (the
     paragraph text itself never rides an exchange — at corpus scale the
     paragraphs ARE the corpus), with a map-side combinable
     min-of-(doc, pos) winner agg — the same winner-join shape as
     latest_by_key — then one narrow per-doc count. Boilerplate-heavy hot
     paragraphs are a single reduce-side row thanks to the partial
-    aggregation; distinct paragraphs colliding on sha2-256 is
-    cryptographically negligible.
+    aggregation. The key is native xxhash64 of the paragraph string — the
+    ``word_ngram_hashes`` discipline: the hash never reaches the output
+    (only per-doc counts do), so distinct paragraphs colliding is a 2^-64
+    event per pair and the string-paragraph oracle still verifies results
+    exactly, while the shuffle moves 8-byte longs instead of 64-char sha2
+    hex and the digest costs one native hash instead of a crypto round.
     """
-    # Inline-safe chunking (word_ngram_hashes discipline): the obvious
-    # lambda — transform(sequence(...), i -> array_join(slice(words,
-    # i*window+1, window))) — embeds the split expression once per slice
-    # reference, re-tokenizing per CHUNK: O(tokens^2 / window) per row.
-    # Instead zip `window` shifted full-length slices (arrays_zip pads the
-    # shorter ones with null), keep every window-th struct, and concat_ws
-    # the fields (null-skipping reproduces the partial tail chunk) — the
-    # lambdas touch only their own variables.
-    words = F.split(F.col(text_col), " ")
+    # Inline-safe chunking (word_ngram_hashes discipline): the token array
+    # is materialized behind its own projection boundary (CollapseProject
+    # refuses to duplicate the non-cheap split into the multiple consumers
+    # below), so the per-chunk slice loop references a stored attribute and
+    # no optimizer rewrite can re-inline the tokenizer into the hot loop.
+    # This replaces the earlier arrays_zip-of-`window`-full-length-slices
+    # shape, which was inline-safe but materialized an O(window * T)
+    # struct intermediate per row — ~window x transient memory per
+    # document (the r6 ADVICE item); the slice loop is O(T) per row.
+    if "_words" in df.columns:
+        raise ValueError(
+            "paragraph_dedup: input column '_words' collides with an "
+            "internal name; rename it before calling"
+        )
+    base = df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("_words")
+    )
+    words = F.col("_words")
     T = F.size(words)
-    zipped = F.arrays_zip(*[F.slice(words, j + 1, T) for j in range(window)])
     chunks = F.when(
         T > 0,
         F.transform(
-            F.filter(zipped, lambda s, i: i % window == 0),
-            lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(window)]),
+            F.sequence(F.lit(0), F.floor((T - 1) / window).cast("int")),
+            lambda i: F.array_join(F.slice(words, i * window + 1, window), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    paras = df.select(
-        F.col(id_col).alias("doc"), F.posexplode(chunks).alias("pos", "para")
-    ).select("doc", "pos", F.sha2(F.col("para").cast("binary"), 256).alias("pdig"))
+    paras = base.select(
+        "doc", F.posexplode(chunks).alias("pos", "para")
+    ).select("doc", "pos", F.xxhash64(F.col("para")).alias("pdig"))
     winners = paras.groupBy("pdig").agg(F.min(F.struct("doc", "pos")).alias("first"))
     # flag-and-aggregate in one pass: the winners join reuses the digest
     # partitioning from the aggregation (no extra exchange), and a single

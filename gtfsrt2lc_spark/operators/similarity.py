@@ -56,17 +56,34 @@ def brute_force_topk(
     """Exact top-k by cosine for each query. (query_id, vec_id, cos, rank).
 
     queries is small -> broadcast; ties broken by corpus id for determinism.
+
+    Norms are computed ONCE per vector in the projections below the join
+    (guide §1.2 per-task work): ``cosine()`` inline would re-fold
+    ``norm(c_vec)`` for every (query, corpus) pair — 2/3 of the per-pair
+    flops for nothing when |queries| > 1. Same arithmetic, same order
+    (dot / (norm_q * norm_c)), so the rounded values are bit-identical.
     """
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("_qn"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         c.crossJoin(q)
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -179,12 +196,27 @@ def lsh_topk(
         .where(F.col("c_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "c_id"])
     )
-    c_vecs = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
-    q_vecs = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    # norms fold once per vector in these projections, not once per
+    # candidate pair (see brute_force_topk); same arithmetic order.
+    c_vecs = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
     scored = (
         cand.join(c_vecs, "c_id")
         .join(_q(q_vecs), "q_id")
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
@@ -300,6 +332,7 @@ def ivf_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),
         F.array_max(_cell_scores(F.col(vec_col), F.col("_cents")))["cell_id"].alias("cell_id"),
+        norm(F.col(vec_col)).alias("_cn"),  # once per vector, not per pair
     )
     probes = F.transform(
         F.slice(
@@ -313,11 +346,17 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(probes).alias("cell_id"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     scored = (
         c.join(F.broadcast(q), "cell_id")
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (

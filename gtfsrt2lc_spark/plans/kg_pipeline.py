@@ -119,6 +119,7 @@ class KGPipeline:
         self._spark = None
         phrases = sorted(predicates, key=len, reverse=True)
         alt = "|".join(re.escape(p) for p in phrases)
+        self._phrase_alt = alt
         self._svo_pattern = rf"^({_MENTION}) ({alt}) ({_MENTION})\.$"
 
     def page_key(self, col: "F.Column | None" = None) -> "F.Column":
@@ -170,30 +171,51 @@ class KGPipeline:
         Sentence split + anchored SVO regex, all JVM-side (regexp_extract).
         Carries ``part_id`` through when present (manifest mode)."""
         carry = ["url"] + (["part_id"] if "part_id" in extracted.columns else [])
-        sent = extracted.select(
+        # Two-phase split with a phrase prefilter between the phases: lines
+        # split on the literal '\n' first (memchr-cheap), the lookaround
+        # sentence regex then runs ONLY on lines that contain some predicate
+        # phrase at all (a plain-alternation rlike — no lookarounds). No
+        # false negatives: an SVO match must contain its phrase, so a line
+        # with no phrase substring can never yield a mention; on real
+        # corpora most lines are phrase-free boilerplate and skip the
+        # expensive lookaround scan entirely (guide §1.2). Equivalent to the
+        # one-shot combined split for extractor output, where lines are
+        # stripped and non-empty (extract_text_str step 5) so a sentence
+        # delimiter's \s+ run can never span a '\n'.
+        lines = extracted.select(
+            *carry,
+            F.explode(F.split(F.col("extracted_text"), "\n")).alias("_line"),
+        ).where(F.col("_line").rlike(self._phrase_alt))
+        sent = lines.select(
             *carry,
             F.explode(
-                # newline = paragraph boundary; '. ' splits only when the
-                # period is not an initial like "A." (abbreviation guard)
+                # '. ' splits only when the period is not an initial like
+                # "A." (abbreviation guard)
                 F.split(
-                    F.col("extracted_text"), r"\n|(?<=(?<![A-Z])[.!?])\s+(?=[A-Z])"
+                    F.col("_line"), r"(?<=(?<![A-Z])[.!?])\s+(?=[A-Z])"
                 )
             ).alias("sentence"),
         )
         p = self._svo_pattern
         # rlike-first: the anchored SVO pattern runs ONCE per sentence as a
-        # boolean filter, and the three group extractions run only on the
-        # (rare) matching sentences — the old shape evaluated regexp_extract
-        # three times on EVERY sentence before filtering (3x the regex work
-        # on a stream of ~hundreds of sentences per page). Equivalent rows:
-        # regexp_extract and rlike both use find() on the same anchored
-        # pattern, and every alternation branch of pred_phrase is non-empty,
-        # so "pattern matches" == "group 2 extracted non-empty".
+        # boolean filter; then ONE backreference regexp_replace rewrites the
+        # (guaranteed-matching) sentence to "$1\t$2\t$3" and a literal \t
+        # split recovers the three groups — mention spans are
+        # [A-Z][\w.]*( [A-Z][\w.]*)* and the phrase lexicon is \t-free, so
+        # tab is a safe delimiter. Two regex executions per matching
+        # sentence, where the previous shape ran four (rlike + one
+        # regexp_extract per group), each a full backtracking pass over the
+        # sentence (guide §1.2 per-task work).
         svo = sent.where(F.col("sentence").rlike(p)).select(
             *carry,
-            F.regexp_extract("sentence", p, 1).alias("subj_surface"),
-            F.regexp_extract("sentence", p, 2).alias("pred_phrase"),
-            F.regexp_extract("sentence", p, 3).alias("obj_surface"),
+            F.split(
+                F.regexp_replace("sentence", p, "$1\t$2\t$3"), "\t"
+            ).alias("_g"),
+        ).select(
+            *carry,
+            F.col("_g")[0].alias("subj_surface"),
+            F.col("_g")[1].alias("pred_phrase"),
+            F.col("_g")[2].alias("obj_surface"),
         )
         return svo
 

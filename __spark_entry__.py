@@ -41,6 +41,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
+
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t + repartition to the session's parallelism when the scan cannot
+    provide it (guide §2.5 input skew: "one huge unsplittable file ...
+    repartition immediately after the read").
+
+    The driver tables are single parquet files with 1-6 row groups, and a
+    scan task needs a row-group start inside its byte range to produce any
+    rows — so every expression evaluated BEFORE the first exchange
+    (tokenizer HOFs, regex extraction, Arrow-UDF decode, broadcast-join
+    probes) runs on 1-6 of the session's cores. One round-robin exchange
+    of the (column-pruned) rows unlocks full-width execution: measured at
+    sf1.0/local[32], exact_dup_groups 17.1s -> 1.0s, decontaminate_hashed
+    6.3s -> 0.9s, gopher_repetition 4.7s -> 0.9s, range_join 6.8s -> 2.8s,
+    svo_extract 1.8s -> 0.7s.
+
+    Used ONLY by queries whose pre-exchange work dominates: for cheap
+    projections or queries whose first operator is already an exchange the
+    extra shuffle is a measured net loss, and they keep the plain scan.
+    Scale-adaptive, not a local[32] constant: the guard compares the
+    scan's actual partition count (memoized per table per session — layout
+    metadata, not results) against ``defaultParallelism``, so a real
+    multi-file corpus with partitions >= cores never repartitions."""
+    df = _t(spark, sf_dir, name)
+    dp = spark.sparkContext.defaultParallelism
+    key = (sf_dir, name)
+    if key not in _SCAN_PARTS:
+        _SCAN_PARTS[key] = df.rdd.getNumPartitions()
+    if _SCAN_PARTS[key] < dp:
+        df = df.repartition(dp)
+    return df
+
+
 def _dec(c, scale: int = 2):
     return F.col(c).cast(f"decimal(18,{scale})")
 
@@ -300,7 +335,7 @@ def q_range_join(spark, sf_dir):
     nested-loop plan). Events landing in 2-hour post-signup windows."""
     from gtfsrt2lc_spark.operators.joins import range_join_point
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     left = ev.select("event_id", "ts")
     windows = ev.where(F.col("event_type") == "signup").select(
         F.col("event_id").alias("window_id"),
@@ -508,7 +543,7 @@ def q_doc_simhash(spark, sf_dir):
 
 def q_exact_dup_groups(spark, sf_dir):
     """Exact dedup via content-hash groupBy (hash-groupBy dedup family)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return exact_dup_groups(d, "text", "doc_id")
 
 
@@ -569,7 +604,7 @@ def _lang_score(toks, words: list[str]):
 def q_lang_id(spark, sf_dir):
     """Heuristic language ID: argmax stopword hits (ties -> 'en' > 'es' > 'de'),
     compared against the stored lang label."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     en = _lang_score(toks, _STOPWORDS["en"])
     es = _lang_score(toks, _STOPWORDS["es"])
@@ -641,7 +676,7 @@ def q_gopher_repetition(spark, sf_dir):
     0.18). Complements q_quality_score's length/stopword/uniqueness
     features; the keep flag is computed on the rounded fractions so the
     DuckDB twin is bit-identical."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     out = _topgram_frac(d, 2).join(_topgram_frac(d, 3), "doc_id")
     return out.select(
         "doc_id",
@@ -699,7 +734,7 @@ def q_decontaminate(spark, sf_dir):
     and BROADCASTS; training-doc n-grams stream through the broadcast hash
     join with zero corpus shuffle, and only the (rare) matching (doc,
     gram) pairs reach the count-distinct aggregate."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     grams = d.select(
         "doc_id", F.explode(_word_ngrams(tokens(F.col("text")), 4)).alias("g")
     )
@@ -727,7 +762,7 @@ def q_decontaminate_hashed(spark, sf_dir):
     `word_ngram_hashes`). n=4 here to match the oracle; n in {8, 13} is
     benchmarked in scripts/bench_decontaminate_ngrams.py.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     grams = d.select(
         "doc_id",
         F.explode(word_ngram_hashes(tokens(F.col("text")), 4)).alias("gk"),
@@ -874,7 +909,7 @@ def q_corpus_shuffle(spark, sf_dir):
 
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors (vec_id < 3)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tp(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 3)
     return brute_force_topk(e, q, k=5)
 
@@ -883,7 +918,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-5 (scale path). Fully deterministic:
     hyperplanes are seeded, so the DuckDB oracle regenerates them as literals
     and replicates the bucket arithmetic exactly."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tp(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 3)
     return lsh_topk(e, q, dim=64, k=5, n_bits=6, n_tables=4)
 
@@ -896,7 +931,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     init data-independent and the DuckDB oracle's unrolled training exact."""
     from gtfsrt2lc_spark.operators.similarity import ivf_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tp(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 3)
     return ivf_topk(e, q, dim=64, k=5, n_cells=8, n_probe=4, sample_size=256)
 
@@ -906,7 +941,7 @@ def q_embedding_neardup(spark, sf_dir):
     candidate path is tested for subset/recall in tests/test_dedup.py)."""
     from gtfsrt2lc_spark.operators.dedup import neardup_pairs_embedding
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tp(spark, sf_dir, "embeddings")
     return neardup_pairs_embedding(e, cos_threshold=0.35, method="exact")
 
 
@@ -936,7 +971,7 @@ def _svo_matches(text_col):
 def q_svo_extract(spark, sf_dir):
     """SVO triple extraction via regex over document text (ref W9 analog:
     record -> fact expansion), minted to IRIs and deduplicated."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     m = d.select("doc_id", F.explode(_svo_matches(F.col("text"))).alias("m"))
     return (
         m.select(
@@ -958,7 +993,7 @@ def q_kg_pipeline_docs(spark, sf_dir):
     extractor is exactly inverse to the wrapper (byte-identity invariant)."""
     from gtfsrt2lc_spark.functions.text import extract_text_udf
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     html = F.encode(
         F.concat(
             F.lit("<html><head><script>t()</script></head><body><nav>menu</nav><p>"),
@@ -1406,7 +1441,7 @@ def q_paragraph_dedup(spark, sf_dir):
     (n_paras, n_kept) emitted."""
     from gtfsrt2lc_spark.operators.dedup import paragraph_dedup
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return paragraph_dedup(d, "doc_id", "text", window=10)
 
 

@@ -78,20 +78,41 @@ def simhash32(hashes: Column) -> Column:
     """32-bit SimHash packed into a bigint.
 
     bit b set iff sum over tokens of (+1 if bit b of token-hash set else -1)
-    is > 0. Pure int64 arithmetic (shiftright + mod), mirrorable in SQL.
+    is > 0. Pure int64 arithmetic (bit tests on non-negative hashes),
+    mirrorable in SQL.
+
+    Tree-size discipline: the original form built 32 independent
+    ``aggregate`` folds — one per bit — each embedding its own copy of the
+    (already large) ``hashes`` subtree, so every query referencing a
+    simhash carried a ~32x-replicated expression tree through construction,
+    analysis and optimization: measured ~0.85 s of DRIVER time per query
+    run at local[32], dwarfing the executed stage. This form folds ONCE
+    into a 32-slot balance array (zip_with against a constant power-of-two
+    array) and packs the bits with a second constant-size fold — the
+    ``hashes`` subtree appears exactly once and planning drops to
+    milliseconds. Values are bit-identical: per-bit balances are the same
+    integer sums (h & 2^b != 0 == bit b set, hashes are non-negative), and
+    the final sum adds the same 2^b terms.
     """
-    def bit_balance(b: int) -> Column:
-        def step(acc, h):
-            return acc + F.when(F.shiftright(h, b) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
-
-        return F.aggregate(hashes, F.lit(0).cast("long"), step)
-
-    out = F.lit(0).cast("long")
-    for b in range(32):
-        out = out + F.when(bit_balance(b) > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    balances = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            pow2,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            balances,
+            pow2,
+            lambda bal, p: F.when(bal > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def hamming32(a: Column, b: Column) -> Column:

@@ -580,8 +580,24 @@ class KGPipeline:
         pred_map = F.create_map(
             *[F.lit(x) for kv in self.predicates.items() for x in kv]
         )
+        # Aggregate BEFORE minting (guide §2.3): group the mention stream on
+        # the narrow (record, phrase, record) key first — map-side partial
+        # aggregation collapses the per-mention rows to the (KB-bounded)
+        # distinct-fact set before anything is joined or concatenated — then
+        # run the canonical joins, predicate map and IRI concat on that
+        # small frame, and re-aggregate on the minted (s, p, o). Exact:
+        # record -> IRI is functional, sameAs merges are re-folded by the
+        # second min (min of per-record mins == min over the merged group),
+        # and the inner canon joins drop the same unmappable records
+        # whether they run before or after the fold. The earlier shape
+        # hash-probed and IRI-concatenated every mention row (x2 joins +
+        # string concat per row) before deduplicating.
+        pre = ["part_id"] if with_part else []
+        facts = linked.groupBy(
+            *pre, "subj_surface_record", "pred_phrase", "obj_surface_record"
+        ).agg(F.min("url").alias("graph"))
         t = (
-            linked.join(
+            facts.join(
                 canon.select(
                     F.col("record_id").alias("subj_surface_record"),
                     F.col("iri").alias("subj"),
@@ -598,4 +614,4 @@ class KGPipeline:
             .withColumn("pred", predicate_iri(pred_map[F.col("pred_phrase")]))
         )
         keys = ["part_id", "subj", "pred", "obj"] if with_part else ["subj", "pred", "obj"]
-        return t.groupBy(*keys).agg(F.min("url").alias("graph"))
+        return t.groupBy(*keys).agg(F.min("graph").alias("graph"))

@@ -116,18 +116,26 @@ def connected_components(
     overhead, which dominates for KB-sized inputs; the distributed
     large-star/small-star path engages beyond the threshold.
     """
-    e = _symmetrize(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if small_graph_edges > 0:
-        head = e.limit(small_graph_edges + 1).collect()
+        # Probe and collect the RAW edge list: union-find is direction- and
+        # duplicate-insensitive (union(a,b) == union(b,a), repeats are
+        # no-ops, a==b skipped), so the symmetrize+distinct exchange the
+        # distributed star rounds need is pure overhead on the small path —
+        # it cost one extra shuffle of the whole upstream plan before the
+        # collect (guide §2.4). The threshold now counts raw edges (was
+        # symmetrized-distinct, i.e. up to 2x raw): same order of
+        # magnitude, still a driver-memory bound.
+        head = raw.limit(small_graph_edges + 1).collect()
         if len(head) <= small_graph_edges:
             spark = edges.sparkSession
-            vt = e.schema["src"].dataType.simpleString()
+            vt = raw.schema["src"].dataType.simpleString()
             return _union_find_local(
                 [(r["src"], r["dst"]) for r in head],
                 spark,
                 f"vertex {vt}, component {vt}",
             )
-    e = e.localCheckpoint()
+    e = _symmetrize(raw).localCheckpoint()
     prev = _checksum(e)
     # rounds_per_check > 1 amortizes the convergence-probe job: the checksum
     # aggregate is a fixed-overhead full pass, and a converged edge set is a

@@ -197,21 +197,32 @@ class KGPipeline:
             ).alias("sentence"),
         )
         p = self._svo_pattern
-        # rlike-first: the anchored SVO pattern runs ONCE per sentence as a
-        # boolean filter; then ONE backreference regexp_replace rewrites the
-        # (guaranteed-matching) sentence to "$1\t$2\t$3" and a literal \t
-        # split recovers the three groups — mention spans are
-        # [A-Z][\w.]*( [A-Z][\w.]*)* and the phrase lexicon is \t-free, so
-        # tab is a safe delimiter. Two regex executions per matching
-        # sentence, where the previous shape ran four (rlike + one
-        # regexp_extract per group), each a full backtracking pass over the
-        # sentence (guide §1.2 per-task work).
-        svo = sent.where(F.col("sentence").rlike(p)).select(
+        # ONE anchored-regex execution per sentence: the backreference
+        # regexp_replace rewrites a matching sentence to "$1\t$2\t$3" and
+        # leaves a non-matching one unchanged, so "matched" == "the \t
+        # split has exactly 3 parts" — mention spans are
+        # [A-Z][\w.]*( [A-Z][\w.]*)* and the phrase lexicon is \t-free, and
+        # extractor output cannot contain a literal tab (the whitespace
+        # collapse in extract_text_str folds tabs to spaces), so the test
+        # has no false positives. A failed replaceAll costs the same
+        # pattern search an rlike would, so this halves the regex work vs
+        # the previous rlike-then-extract shape (4 -> 1 executions per
+        # matching sentence overall; guide §1.2). The one-element-array
+        # explode is a pass-through Generate boundary: the replace is a
+        # Generate input evaluated exactly once per row, and the
+        # size-filter sits on the GENERATED attribute, which predicate
+        # pushdown cannot substitute back below the Generate — phrasing it
+        # as filter-over-projection would let Catalyst duplicate the
+        # replace into a pushed filter (the duplicate_spans lesson).
+        g = sent.select(
             *carry,
-            F.split(
-                F.regexp_replace("sentence", p, "$1\t$2\t$3"), "\t"
+            F.explode(
+                F.array(
+                    F.split(F.regexp_replace("sentence", p, "$1\t$2\t$3"), "\t")
+                )
             ).alias("_g"),
-        ).select(
+        )
+        svo = g.where(F.size("_g") == 3).select(
             *carry,
             F.col("_g")[0].alias("subj_surface"),
             F.col("_g")[1].alias("pred_phrase"),

@@ -482,16 +482,21 @@ def paragraph_dedup(
     )
     words = F.col("_words")
     T = F.size(words)
+    # Key = xxhash64 of the chunk's WORD SLICE, no chunk string ever built:
+    # tokens are space-free (split on " "), so space-joined strings are
+    # equal iff the word tuples are equal — hashing the slice array keeps
+    # the same distinctness semantics as hashing the joined text while
+    # skipping a per-chunk string materialization.
     chunks = F.when(
         T > 0,
         F.transform(
             F.sequence(F.lit(0), F.floor((T - 1) / window).cast("int")),
-            lambda i: F.array_join(F.slice(words, i * window + 1, window), " "),
+            lambda i: F.xxhash64(F.slice(words, i * window + 1, window)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     paras = base.select(
-        "doc", F.posexplode(chunks).alias("pos", "para")
-    ).select("doc", "pos", F.xxhash64(F.col("para")).alias("pdig"))
+        "doc", F.posexplode(chunks).alias("pos", "pdig")
+    )
     winners = paras.groupBy("pdig").agg(F.min(F.struct("doc", "pos")).alias("first"))
     # flag-and-aggregate in one pass: the winners join reuses the digest
     # partitioning from the aggregation (no extra exchange), and a single

@@ -603,9 +603,13 @@ def _lang_score(toks, words: list[str]):
 
 def q_lang_id(spark, sf_dir):
     """Heuristic language ID: argmax stopword hits (ties -> 'en' > 'es' > 'de'),
-    compared against the stored lang label."""
+    compared against the stored lang label. Token array projected behind
+    its own boundary: the argmax references three stopword scores, each a
+    filter HOF over the SAME token array — inline, the tokenizer ran 3x
+    per row (no common-subexpression elimination for HOFs)."""
     d = _tp(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    base = d.select("lang", tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     en = _lang_score(toks, _STOPWORDS["en"])
     es = _lang_score(toks, _STOPWORDS["es"])
     de = _lang_score(toks, _STOPWORDS["de"])
@@ -614,7 +618,7 @@ def q_lang_id(spark, sf_dir):
         .when(es >= de, "es")
         .otherwise("de")
     )
-    return d.groupBy(F.col("lang"), pred.alias("predicted")).agg(
+    return base.groupBy(F.col("lang"), pred.alias("predicted")).agg(
         F.count("*").alias("n")
     )
 
@@ -656,9 +660,14 @@ def _topgram_frac(d, n: int):
     strings: no concat per gram, and the (doc_id, gram) count shuffle
     moves 8-byte longs. The fractions are identical to string grouping
     absent a 2^-64 xxhash64 collision; the DuckDB twin groups the gram
-    strings, and tests/test_decontaminate.py pins the equivalence."""
-    ex = d.select(
-        "doc_id", F.explode(word_ngram_hashes(tokens(F.col("text")), n)).alias("g")
+    strings, and tests/test_decontaminate.py pins the equivalence.
+
+    Token array projected behind its own boundary before the gram builder
+    (duplicate_spans discipline): word_ngram_hashes references its toks
+    argument n+2 times, and HOFs get no common-subexpression elimination,
+    so an inline tokens(text) re-tokenized every document n+2 times."""
+    ex = d.select("doc_id", tokens(F.col("text")).alias("_toks")).select(
+        "doc_id", F.explode(word_ngram_hashes(F.col("_toks"), n)).alias("g")
     )
     cnt = ex.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     return cnt.groupBy("doc_id").agg(
@@ -735,8 +744,10 @@ def q_decontaminate(spark, sf_dir):
     join with zero corpus shuffle, and only the (rare) matching (doc,
     gram) pairs reach the count-distinct aggregate."""
     d = _tp(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(_word_ngrams(tokens(F.col("text")), 4)).alias("g")
+    # token array behind a projection boundary before the gram builder
+    # (duplicate_spans discipline: _word_ngrams references toks n+2 times)
+    grams = d.select("doc_id", tokens(F.col("text")).alias("_toks")).select(
+        "doc_id", F.explode(_word_ngrams(F.col("_toks"), 4)).alias("g")
     )
     ev = grams.where(F.col("doc_id") % 50 == 0).select("g").distinct()
     return (
@@ -760,12 +771,14 @@ def q_decontaminate_hashed(spark, sf_dir):
     never reaches the output, and countDistinct over keys equals
     countDistinct over grams absent a 2^-64 xxhash64 collision (see
     `word_ngram_hashes`). n=4 here to match the oracle; n in {8, 13} is
-    benchmarked in scripts/bench_decontaminate_ngrams.py.
+    benchmarked in scripts/bench_decontaminate_ngrams.py. Token array
+    projected behind a boundary before the gram builder (duplicate_spans
+    discipline — inline tokens(text) re-tokenizes n+2x per row).
     """
     d = _tp(spark, sf_dir, "documents")
-    grams = d.select(
+    grams = d.select("doc_id", tokens(F.col("text")).alias("_toks")).select(
         "doc_id",
-        F.explode(word_ngram_hashes(tokens(F.col("text")), 4)).alias("gk"),
+        F.explode(word_ngram_hashes(F.col("_toks"), 4)).alias("gk"),
     )
     ev = grams.where(F.col("doc_id") % 50 == 0).select("gk").distinct()
     return (

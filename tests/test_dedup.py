@@ -416,3 +416,8 @@ def test_word_ngram_plans_never_reinline_the_tokenizer(spark):
         # via element_at, or the tokenizer substituted into that lookup
         assert "xxhash64(element_at(" not in plan, plan[:2000]
         assert "element_at(filter(split(" not in plan, plan[:2000]
+        # positive marker of the fixed shape: if a Spark version bump changes
+        # expression pretty-printing, the negative matches above could turn
+        # into silent no-ops — the zip-of-shifted-slices builder must still
+        # be visible, or this guard needs re-porting to the new rendering.
+        assert "arrays_zip" in plan, plan[:2000]
